@@ -1,0 +1,232 @@
+"""Event <-> argument linking (J4, SURVEY.md section 2.3) as joins.
+
+Reimplements the semantics of ``link`` (reference
+code/link_coref.py:1228-1406) declaratively:
+
+1.  Nugget spans -> events, argument spans -> arguments, ids assigned
+    in reading order (row_number over (sent_id, first_token_id) per
+    doc — matching the reference's sequential eventid/argumentid
+    counters at :1230, :1296).
+2.  select_sent per argument sentence (:1299-1309): the argument looks
+    at its own sentence first — if ANY event exists there it is the
+    only pool considered (even if none is compatible) — else at the
+    previous sentence, else the argument is dropped.
+3.  Candidate events = events of select_sent whose subtype legally
+    accepts the argument's entity type (Pair, :1369-1373).
+4.  Exactly one candidate -> attach (:1375-1378).  More than one ->
+    the nearest-trigger tie-break (:1380-1406): walk the argument's
+    tokens in order; the first token whose nearest trigger + relative
+    position matches a candidate (nugget token-list containment +
+    offset direction) decides, candidates probed in event-id order.
+
+Physical plan: two span assemblies (window ops), one broadcast-able
+distinct sentence lookup, one compat theta-join (events per doc-
+sentence are tiny; skew handled by AQE), and a row_number top-1 for
+the tie-break.  No Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config
+from .spans import assemble_spans
+
+
+def _compat(ev_label, arg_label):
+    """arg entity type legal for event subtype (Pair, link_coref.py:38-42)."""
+    c = F.lit(False)
+    for sub, args in config.PAIR.items():
+        c = c | ((ev_label == sub) & arg_label.isin(args))
+    return c
+
+
+def extract_events(tagged: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """Trigger spans -> events(doc_id, event_id, sent_id, subtype, text,
+    begin, end, first_token_id [, carried cols])."""
+    carry = [c for c in (carry or []) if c in tagged.columns]
+    spans = assemble_spans(tagged, "trigger_tag", carry_first=carry)
+    w = Window.partitionBy("doc_id").orderBy("sent_id", "first_token_id")
+    return (
+        spans.withColumn("event_id", F.row_number().over(w) - 1)
+        .withColumnRenamed("label", "subtype")
+        .drop("span_id")
+    )
+
+
+def extract_arguments(tagged: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    carry = [c for c in (carry or []) if c in tagged.columns]
+    spans = assemble_spans(tagged, "arg_tag", carry_first=carry)
+    w = Window.partitionBy("doc_id").orderBy("sent_id", "first_token_id")
+    return (
+        spans.withColumn("arg_id", F.row_number().over(w) - 1)
+        .withColumnRenamed("label", "arg_type")
+        .drop("span_id")
+    )
+
+
+def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFrame:
+    """Attach arguments to events; returns one row per attached pair:
+
+    (doc_id, event_id, subtype, event_text, event_begin, event_sent,
+     realis?, arg_id, arg_type, arg_text, arg_begin, arg_sent, role?)
+    """
+    ev = events.select(
+        F.col("doc_id").alias("_e_doc"),
+        F.col("event_id"),
+        F.col("sent_id").alias("ev_sent"),
+        F.col("subtype"),
+        F.col("text").alias("event_text"),
+        F.col("begin").alias("event_begin"),
+        *(["realis"] if "realis" in events.columns else []),
+    )
+    ar = arguments.select(
+        "doc_id",
+        F.col("arg_id"),
+        F.col("sent_id").alias("arg_sent"),
+        F.col("arg_type"),
+        F.col("text").alias("arg_text"),
+        F.col("begin").alias("arg_begin"),
+        F.col("end").alias("arg_end"),
+        *(["role"] if "role" in arguments.columns else []),
+    )
+
+    # --- select_sent (link_coref.py:1299-1309) ---
+    ev_sents = ev.select(F.col("_e_doc").alias("doc_id"), F.col("ev_sent").alias("s")).distinct()
+    same = ev_sents.withColumnRenamed("s", "arg_sent").withColumn("_same", F.lit(True))
+    prev = ev_sents.withColumn("arg_sent", F.col("s") + 1).drop("s").withColumn(
+        "_prev", F.lit(True)
+    )
+    ar = (
+        ar.join(same, ["doc_id", "arg_sent"], "left")
+        .join(prev, ["doc_id", "arg_sent"], "left")
+        .withColumn(
+            "select_sent",
+            F.when(F.col("_same"), F.col("arg_sent"))
+            .when(F.col("_prev"), F.col("arg_sent") - 1),
+        )
+        .drop("_same", "_prev")
+        .filter(F.col("select_sent").isNotNull())
+    )
+
+    # --- candidates: events of select_sent, Pair-compatible ---
+    cand = ar.join(
+        ev,
+        (F.col("doc_id") == F.col("_e_doc"))
+        & (F.col("select_sent") == F.col("ev_sent")),
+        "inner",
+    ).drop("_e_doc")
+    cand = cand.filter(_compat(F.col("subtype"), F.col("arg_type")))
+
+    warg = Window.partitionBy("doc_id", "arg_id")
+    cand = cand.withColumn("n_cand", F.count("*").over(warg))
+
+    single = cand.filter(F.col("n_cand") == 1).drop("n_cand")
+
+    # --- tie-break for n_cand > 1 (link_coref.py:1380-1406) ---
+    multi = cand.filter(F.col("n_cand") > 1).drop("n_cand")
+    near = nearest_trigger(tagged).select(
+        F.col("doc_id").alias("_n_doc"),
+        F.col("sent_id").alias("_n_sent"),
+        F.col("token_id"),
+        F.col("begin"),
+        "near_trigger", "trigger_position",
+    )
+    # tokens of the argument span, with nearest-trigger info
+    mt = multi.join(
+        near,
+        (F.col("doc_id") == F.col("_n_doc"))
+        & (F.col("arg_sent") == F.col("_n_sent"))
+        & (F.col("begin") >= F.col("arg_begin"))
+        & (F.col("begin") < F.col("arg_end")),
+        "inner",
+    ).drop("_n_doc", "_n_sent")
+
+    ev_tokens = F.split(F.col("event_text"), " ")
+    contains = F.array_contains(ev_tokens, F.col("near_trigger"))
+    ok = (
+        (F.col("trigger_position").isin("before", "differsentence")
+         & contains & (F.col("event_begin") <= F.col("begin")))
+        | ((F.col("trigger_position") == "after")
+           & contains & (F.col("event_begin") >= F.col("begin")))
+    )
+    wpick = Window.partitionBy("doc_id", "arg_id").orderBy("token_id", "event_id")
+    tiebreak = (
+        mt.filter(ok)
+        .withColumn("_rk", F.row_number().over(wpick))
+        .filter("_rk = 1")
+        .drop("_rk", "token_id", "begin", "near_trigger", "trigger_position")
+    )
+
+    out = single.unionByName(tiebreak, allowMissingColumns=True)
+    return out.drop("select_sent", "arg_end", "ev_sent")
+
+
+def nearest_trigger(tagged: DataFrame) -> DataFrame:
+    """Per token: nearest trigger surface + relative position.
+
+    Deterministic analog of combineNearTrggr
+    (parseJsontoFeatures.py:360-503): nearest same-sentence trigger by
+    token distance (tie -> earlier trigger); if none, a trigger in the
+    previous/next sentence -> 'differsentence'.  Only tokens inside
+    argument spans are needed downstream, but computing for all tagged
+    tokens keeps this a single pass.
+
+    Returns (doc_id, sent_id, token_id, begin, near_trigger,
+    trigger_position).
+    """
+    toks = tagged.select("doc_id", "sent_id", "token_id", "begin").filter(
+        F.col("begin").isNotNull()
+    )
+    trig = tagged.filter(F.col("trigger_tag") != "O").select(
+        F.col("doc_id").alias("_t_doc"),
+        F.col("sent_id").alias("t_sent"),
+        F.col("token_id").alias("t_tid"),
+        F.col("token").alias("t_tok"),
+    )
+
+    samesent = toks.join(
+        trig,
+        (F.col("doc_id") == F.col("_t_doc")) & (F.col("sent_id") == F.col("t_sent")),
+        "left",
+    ).drop("_t_doc")
+    w = Window.partitionBy("doc_id", "sent_id", "token_id").orderBy(
+        F.abs(F.col("t_tid") - F.col("token_id")), "t_tid"
+    )
+    samesent = (
+        samesent.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .drop("_rk")
+    )
+    same_hit = samesent.filter(F.col("t_tid").isNotNull()).select(
+        "doc_id", "sent_id", "token_id", "begin",
+        F.col("t_tok").alias("near_trigger"),
+        F.when(F.col("t_tid") < F.col("token_id"), "before")
+        .otherwise("after")
+        .alias("trigger_position"),
+    )
+
+    # tokens with no same-sentence trigger: look at sent +/- 1
+    miss = samesent.filter(F.col("t_tid").isNull()).select(
+        "doc_id", "sent_id", "token_id", "begin"
+    )
+    adj = miss.join(
+        trig,
+        (F.col("doc_id") == F.col("_t_doc"))
+        & (F.abs(F.col("t_sent") - F.col("sent_id")) == 1),
+        "inner",
+    ).drop("_t_doc")
+    wadj = Window.partitionBy("doc_id", "sent_id", "token_id").orderBy(
+        "t_sent", "t_tid"
+    )
+    adj_hit = (
+        adj.withColumn("_rk", F.row_number().over(wadj))
+        .filter("_rk = 1")
+        .select(
+            "doc_id", "sent_id", "token_id", "begin",
+            F.col("t_tok").alias("near_trigger"),
+            F.lit("differsentence").alias("trigger_position"),
+        )
+    )
+    return same_hit.unionByName(adj_hit)

@@ -1,0 +1,78 @@
+"""Role assignment (roleassign, reference code/link_coref.py:1409-1457).
+
+Semantics:
+- The upstream role column (model prediction / gold replay) wins when
+  present.  NOTE a deliberate divergence: the reference *forces* the
+  single-valued RolePair role over the model output (:1420-1427), but
+  its RolePair constants use a different surface vocabulary than the
+  corpus roles the models were trained on (e.g. RolePair says
+  'Ransom-Price'/'Vulnerable-System-Version' where the corpus says
+  'Price'/'Vulnerable_System_Version') — forcing would systematically
+  rename ~600 corpus-vocabulary roles, so upstream-first preserves
+  parity with the corpus the models emit.
+- With no upstream role: the single-valued RolePair role (:1420-1427),
+  else the first legal role as deterministic fallback (model-free v1 —
+  a trained model slots in behind the same column).
+- Databreach 'Number' arguments take Number-of-Victim /
+  Number-of-Compromised-Data from the role of the *next* argument id
+  attached to the same event (:1444-1457).
+
+Physical note: the (subtype, arg_type) -> role lookup is a ~70-row
+broadcast-joined table, NOT a nested when()-chain — the chain version
+blew the 64 KB whole-stage-codegen method limit and forced interpreted
+fallback for the whole stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import config
+
+
+def role_lookup_df(spark: SparkSession) -> DataFrame:
+    """(subtype, arg_type, single_role, first_role) — RolePair flattened."""
+    rows = []
+    for sub, amap in config.ROLE_PAIR.items():
+        for atype, roles in amap.items():
+            rows.append(
+                (sub, atype, roles[0] if len(roles) == 1 else None, roles[0])
+            )
+    return spark.createDataFrame(
+        rows, "subtype string, arg_type string, single_role string, first_role string"
+    )
+
+
+def assign_roles(linked: DataFrame) -> DataFrame:
+    """linked (from operators.linking.link) -> + final ``role``."""
+    spark = linked.sparkSession
+    has_role = "role" in linked.columns
+    upstream = F.col("role") if has_role else F.lit(None).cast("string")
+
+    lookup = role_lookup_df(spark)
+    df = linked.join(F.broadcast(lookup), ["subtype", "arg_type"], "left")
+    df = df.withColumn(
+        "role",
+        F.coalesce(upstream, F.col("single_role"), F.col("first_role")),
+    ).drop("single_role", "first_role")
+
+    # Databreach Number -> look at the next attached argument's role
+    wnext = Window.partitionBy("doc_id", "event_id").orderBy("arg_id")
+    next_role = F.lead("role", 1).over(wnext)
+    return df.withColumn(
+        "role",
+        F.when(
+            (F.col("subtype") == "Databreach")
+            & (F.col("arg_type") == "Number")
+            & (next_role == "Victim"),
+            F.lit("Number-of-Victim"),
+        )
+        .when(
+            (F.col("subtype") == "Databreach")
+            & (F.col("arg_type") == "Number")
+            & (next_role == "Compromised-Data"),
+            F.lit("Number-of-Compromised-Data"),
+        )
+        .otherwise(F.col("role")),
+    )

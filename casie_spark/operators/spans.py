@@ -32,6 +32,7 @@ def assemble_spans(
     tag_col: str,
     doc_col: str = "doc_id",
     sent_scope: bool = True,
+    carry_first: list[str] | None = None,
 ) -> DataFrame:
     """tokens(+tag_col BIO column) -> spans.
 
@@ -44,6 +45,11 @@ def assemble_spans(
     never crosses a sentence boundary; the window orders by
     (sent_id, token_id) and a sentence change breaks the run because
     the reference resets its accumulator per sentence.
+
+    ``carry_first``: extra token columns whose value at the span's
+    first token rides along (the reference reads realis/role off the
+    nugget_pos token, link_coref.py:1241-1244) — emitted under the
+    same name via ``min_by(col, token_id)``.
     """
     tag = F.col(tag_col)
     label = F.when(tag == "O", F.lit("")).otherwise(F.substring(tag, 3, 1000000))
@@ -86,6 +92,7 @@ def assemble_spans(
             F.array_sort(
                 F.collect_list(F.struct("token_id", "token"))
             ).alias("_toks"),
+            *[F.min_by(c, "token_id").alias(c) for c in (carry_first or [])],
         )
         .withColumn("text", F.concat_ws(" ", F.col("_toks.token")))
         .withColumnRenamed("_span_id", "span_id")

@@ -1,0 +1,98 @@
+"""Evaluation: triple-set P/R and mention-level Dice F1.
+
+- ``triple_prf``: order-insensitive set comparison of predicted vs
+  gold triples on (doc_id, event_begin, pred, arg_begin) keys — the
+  BASELINE.json parity gate (P/R >= 0.95).
+- ``mention_dice_f1``: span-level scoring faithful to the reference
+  scorer (score.py:154-250): per gold span, best-overlapping predicted
+  span of the same label in the same (doc, sent); Dice = 2*tp/(tg+ts)
+  micro-averaged (:144, :227).  The reference's greedy matching removes
+  a predicted span once matched (:214-217); reproduced with a
+  row_number over (gold order) and anti-reuse via one-to-one matching
+  on sorted overlap.
+
+Both are pure DataFrame aggregations — the scorer itself distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def triple_prf(pred: DataFrame, gold: DataFrame) -> dict:
+    """P/R/F1 over distinct triple keys.
+
+    pred: (doc_id, event_begin, pred, arg_begin) columns expected.
+    gold: (doc_id, nugget_begin, pred, begin).
+    """
+    p = pred.select(
+        "doc_id",
+        F.col("event_begin").cast("long").alias("k1"),
+        F.col("pred").alias("k2"),
+        F.col("arg_begin").cast("long").alias("k3"),
+    ).distinct()
+    g = gold.select(
+        "doc_id",
+        F.col("nugget_begin").cast("long").alias("k1"),
+        F.col("pred").alias("k2"),
+        F.col("begin").cast("long").alias("k3"),
+    ).distinct()
+    np, ng = p.count(), g.count()
+    tp = p.join(g, ["doc_id", "k1", "k2", "k3"], "inner").count()
+    precision = tp / np if np else 0.0
+    recall = tp / ng if ng else 0.0
+    f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
+    return {"tp": tp, "n_pred": np, "n_gold": ng,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def mention_dice_f1(pred_spans: DataFrame, gold_spans: DataFrame) -> dict:
+    """Micro Dice-F1 between predicted and gold spans.
+
+    Expects both sides with (doc_id, sent_id, label, begin, end,
+    n_tokens).  Matching: per (doc, sent, label), order gold by begin;
+    each gold greedily takes the unmatched predicted span with the
+    largest token overlap (ties -> smallest begin) — the score.py
+    :214-217 greedy-removal semantics via one-to-one rank pairing.
+    """
+    g = gold_spans.select(
+        "doc_id", "sent_id", "label",
+        F.col("begin").alias("g_begin"), F.col("end").alias("g_end"),
+        F.col("n_tokens").alias("g_n"),
+    )
+    p = pred_spans.select(
+        "doc_id", "sent_id", "label",
+        F.col("begin").alias("p_begin"), F.col("end").alias("p_end"),
+        F.col("n_tokens").alias("p_n"),
+    )
+    j = g.join(p, ["doc_id", "sent_id", "label"], "inner").withColumn(
+        "overlap",
+        F.greatest(
+            F.lit(0),
+            F.least("g_end", "p_end") - F.greatest("g_begin", "p_begin"),
+        ),
+    ).filter(F.col("overlap") > 0)
+    # one-to-one: best pred per gold, then dedup preds keeping best gold
+    wg = Window.partitionBy("doc_id", "sent_id", "label", "g_begin").orderBy(
+        F.desc("overlap"), "p_begin"
+    )
+    best = j.withColumn("rk", F.row_number().over(wg)).filter("rk = 1")
+    wp = Window.partitionBy("doc_id", "sent_id", "label", "p_begin").orderBy(
+        F.desc("overlap"), "g_begin"
+    )
+    matched = best.withColumn("rk2", F.row_number().over(wp)).filter("rk2 = 1")
+
+    agg = matched.agg(
+        F.sum(
+            2.0 * F.least("g_n", "p_n") / (F.col("g_n") + F.col("p_n"))
+        ).alias("dice_sum")
+    ).first()
+    dice = agg["dice_sum"] or 0.0
+    n_gold = gold_spans.count()
+    n_pred = pred_spans.count()
+    precision = dice / n_pred if n_pred else 0.0
+    recall = dice / n_gold if n_gold else 0.0
+    f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
+    return {"dice_sum": dice, "n_gold": n_gold, "n_pred": n_pred,
+            "precision": precision, "recall": recall, "f1": f1}

@@ -27,6 +27,7 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
     "spark.executor.extraJavaOptions": "-Djava.security.manager=allow",
 }
