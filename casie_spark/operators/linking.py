@@ -186,47 +186,59 @@ def nearest_trigger(tagged: DataFrame) -> DataFrame:
         F.col("token").alias("t_tok"),
     )
 
-    samesent = toks.join(
-        trig,
-        (F.col("doc_id") == F.col("_t_doc")) & (F.col("sent_id") == F.col("t_sent")),
-        "left",
-    ).drop("_t_doc")
-    w = Window.partitionBy("doc_id", "sent_id", "token_id").orderBy(
-        F.abs(F.col("t_tid") - F.col("token_id")), "t_tid"
-    )
+    # min_by over a doc-clustered groupBy instead of a per-token window:
+    # HashPartitioning(doc_id) satisfies clustering on (doc_id, sent_id,
+    # token_id), so neither aggregation re-shuffles.
     samesent = (
-        samesent.withColumn("_rk", F.row_number().over(w))
-        .filter("_rk = 1")
-        .drop("_rk")
+        toks.join(
+            trig,
+            (F.col("doc_id") == F.col("_t_doc")) & (F.col("sent_id") == F.col("t_sent")),
+            "left",
+        )
+        .drop("_t_doc")
+        .groupBy("doc_id", "sent_id", "token_id")
+        .agg(
+            F.first("begin").alias("begin"),
+            # guard: a null ordering value is skipped by min_by, but a
+            # struct OF nulls would sort first — so wrap in when()
+            F.min_by(
+                F.struct("t_tok", "t_tid"),
+                F.when(
+                    F.col("t_tid").isNotNull(),
+                    F.struct(F.abs(F.col("t_tid") - F.col("token_id")).alias("d"),
+                             F.col("t_tid").alias("t")),
+                ),
+            ).alias("_best"),
+        )
     )
-    same_hit = samesent.filter(F.col("t_tid").isNotNull()).select(
+    same_hit = samesent.filter(F.col("_best.t_tid").isNotNull()).select(
         "doc_id", "sent_id", "token_id", "begin",
-        F.col("t_tok").alias("near_trigger"),
-        F.when(F.col("t_tid") < F.col("token_id"), "before")
+        F.col("_best.t_tok").alias("near_trigger"),
+        F.when(F.col("_best.t_tid") < F.col("token_id"), "before")
         .otherwise("after")
         .alias("trigger_position"),
     )
 
     # tokens with no same-sentence trigger: look at sent +/- 1
-    miss = samesent.filter(F.col("t_tid").isNull()).select(
+    miss = samesent.filter(F.col("_best.t_tid").isNull()).select(
         "doc_id", "sent_id", "token_id", "begin"
     )
-    adj = miss.join(
-        trig,
-        (F.col("doc_id") == F.col("_t_doc"))
-        & (F.abs(F.col("t_sent") - F.col("sent_id")) == 1),
-        "inner",
-    ).drop("_t_doc")
-    wadj = Window.partitionBy("doc_id", "sent_id", "token_id").orderBy(
-        "t_sent", "t_tid"
-    )
     adj_hit = (
-        adj.withColumn("_rk", F.row_number().over(wadj))
-        .filter("_rk = 1")
-        .select(
-            "doc_id", "sent_id", "token_id", "begin",
-            F.col("t_tok").alias("near_trigger"),
-            F.lit("differsentence").alias("trigger_position"),
+        miss.join(
+            trig,
+            (F.col("doc_id") == F.col("_t_doc"))
+            & (F.abs(F.col("t_sent") - F.col("sent_id")) == 1),
+            "inner",
         )
+        .drop("_t_doc")
+        .groupBy("doc_id", "sent_id", "token_id")
+        .agg(
+            F.first("begin").alias("begin"),
+            F.min_by(
+                F.col("t_tok"),
+                F.struct(F.col("t_sent").alias("s"), F.col("t_tid").alias("t")),
+            ).alias("near_trigger"),
+        )
+        .withColumn("trigger_position", F.lit("differsentence"))
     )
     return same_hit.unionByName(adj_hit)

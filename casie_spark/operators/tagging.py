@@ -177,10 +177,15 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     # 3. argument tags (entity shapes + gazetteers). Precedence: CVE >
     #    Version > Money > Number > Time > Malware > PII > Data >
     #    Organization > System > Person > GeneralArg.
-    w = Window.partitionBy("doc_id", "sent_id").orderBy("token_id")
-    prev = F.lag(low, 1, "").over(w)
+    #    Window partitions by doc_id only (sentence handled via guard
+    #    columns) so the upstream doc_id partitioning is reused.
+    w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
+    same_sent = F.lag("sent_id", 1, -1).over(w) == F.col("sent_id")
+    prev = F.when(same_sent, F.lag(low, 1, "").over(w)).otherwise(F.lit(""))
     is_money = F.col("token").rlike(r"^\$\d") | (
-        low.isin("million", "billion", "thousand") & F.lag(F.col("token"), 1, "").over(w).rlike(r"^\$?\d")
+        low.isin("million", "billion", "thousand")
+        & same_sent
+        & F.lag(F.col("token"), 1, "").over(w).rlike(r"^\$?\d")
     )
     is_number = F.col("token").rlike(r"^\d[\d,]*$") & ~prev.rlike(r"^(cve|v)$")
     is_year = F.col("token").rlike(r"^(19|20)\d\d$")
@@ -211,7 +216,7 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     )
 
     # B/I: consecutive same-argument-type tokens continue the span
-    prev_arg = F.lag("_arg", 1).over(w)
+    prev_arg = F.when(same_sent, F.lag("_arg", 1).over(w))
     df = df.withColumn(
         "arg_tag",
         F.when(F.col("_arg").isNull(), F.lit("O"))

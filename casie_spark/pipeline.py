@@ -38,15 +38,37 @@ def salt_repartition(df: DataFrame, key: str = "url", n: int | None = None) -> D
 
 def tagged_tokens(documents: DataFrame, id_col: str = "url",
                   mode: str = "rules", gold=None) -> DataFrame:
-    """documents -> tagged token table (the model-stage column contract)."""
+    """documents -> tagged token table (the model-stage column contract).
+
+    One explicit hash repartition on doc_id right after tokenization is
+    the ONLY full shuffle of the token stream: every downstream window,
+    groupBy and join is keyed on doc_id (+ finer sort keys), and
+    HashPartitioning(doc_id) satisfies clustering on any superset of
+    keys, so Catalyst reuses this exchange for the whole linking DAG
+    (sorts instead of shuffles).
+    """
     docs = salt_repartition(documents, id_col)
-    toks = tokenize(docs, id_col=id_col)
+    toks = tokenize(docs, id_col=id_col).repartition(F.col("doc_id"))
+    # The token table is referenced by several downstream branches
+    # (histogram, spans x2, nearest-trigger, tie-break).  Spark does NOT
+    # dedupe common subplans, so without materialization the tokenizer
+    # subtree re-executes once per reference (measured: 16 copies, 125
+    # exchanges).  persist() collapses them; at production scale this is
+    # a parquet/Iceberg stage table instead (SURVEY.md section 4 item 4).
+    # Eager: independent downstream stages of one job run concurrently
+    # and would race to fill a lazy cache, each recomputing it.
+    toks = toks.persist()
+    toks.count()
     if mode == "rules":
-        return tag_rules(toks)
-    if mode == "gold":
+        tagged = tag_rules(toks)
+    elif mode == "gold":
         ev, ar = gold
-        return tag_gold_replay(toks, ev, ar)
-    raise ValueError(f"unknown tagging mode: {mode}")
+        tagged = tag_gold_replay(toks, ev, ar)
+    else:
+        raise ValueError(f"unknown tagging mode: {mode}")
+    tagged = tagged.persist()
+    tagged.count()
+    return tagged
 
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:

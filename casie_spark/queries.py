@@ -1,0 +1,604 @@
+"""Driver-contract query suite: each entry exists twice —
+
+- a Spark DataFrame implementation (``QUERIES[name]``), exercising the
+  operator inventory of SURVEY.md section 2 on the driver-provided
+  testdata tables, and
+- an ANSI-SQL oracle (``ORACLE_SQL[name]``) DuckDB runs on the same
+  parquet for the order-insensitive value-hash comparison.
+
+Conventions keeping the two engines hash-identical:
+- every computed column is aliased the same on both sides;
+- floating aggregates are rounded (ROUND(x, 2..4)) on both sides so
+  parallel summation order can't flip the last ulp;
+- window orderings always carry a unique tie-break key;
+- timestamps only pass through date_trunc (both engines UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --- inline corpus for regex/extraction oracles (same text reaches both
+# engines, so the check is about the operators, not data plumbing) -----
+CVE_CORPUS = [
+    (1, "Researchers discovered CVE-2019-0708 in Remote Desktop Services."),
+    (2, "Adobe released a patch for CVE-2018-4878 and CVE-2018-4990 last week."),
+    (3, "No vulnerabilities mentioned here at all."),
+    (4, "The flaw CVE-2019-0708 was exploited in the wild; see also CVE-2017-0144."),
+    (5, "Update to version 2.4.41 to fix CVE-2019-0211."),
+    (6, "CVE-2017-0144, also known as EternalBlue, powered WannaCry."),
+]
+
+
+def _values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in CVE_CORPUS)
+    return f"(VALUES {rows}) AS corpus(doc_id, text)"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash agg (SURVEY 2.4)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """3-way join (broadcast dims) + agg (SURVEY 2.3 J-class)."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q03_order_priority(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q04_running_total(spark, sf_dir):
+    """Window: running sum + lag per customer (SURVEY 2.5)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_prev"),
+    )
+
+
+def q05_topk_per_group(spark, sf_dir):
+    """Top-3 events per user by value (SURVEY 2.6 T1/T3)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rk")
+    )
+
+
+def q06_sessionize(spark, sf_dir):
+    """Sessionization: 30-min gap splits; per-user session stats."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+def q07_asof_join(spark, sf_dir):
+    """As-of join: each event -> user's latest order at/before event ts
+    (SURVEY 2.3 J4-style range join + top-1 per group)."""
+    e = _load(spark, sf_dir, "events")
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate"), F.col("o_totalprice")
+    )
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "inner")
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "event_id", "user_id", "o_orderkey",
+            F.round("o_totalprice", 2).alias("last_order_price"),
+        )
+    )
+
+
+def q15_rollup(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+def q16_event_windows(spark, sf_dir):
+    """Tumbling 1-hour windows (batch analog of the streaming agg)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            # emitted as string: Spark timestamps are session-TZ-aware,
+            # DuckDB's naive — strings hash identically
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / pipeline-shaped
+# ---------------------------------------------------------------------------
+
+def q08_cve_extract(spark, sf_dir):
+    """Regex extraction + explode + agg (SURVEY 2.8 F1) on the shared
+    inline corpus."""
+    df = spark.createDataFrame(CVE_CORPUS, "doc_id int, text string")
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"CVE-\d+-\d+"), 0)
+            ).alias("cve"),
+        )
+        .groupBy("cve")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def q09_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash (training-data op)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q10_token_stats(spark, sf_dir):
+    """Token counting per doc -> per-lang stats (training-data op)."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+    )
+
+
+def q11_quality_scores(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean word length per source."""
+    d = _load(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return words.groupBy("source").agg(
+        F.round(
+            F.avg(F.when(F.col("w").isin("the", "a", "of", "to", "and"), 1.0).otherwise(0.0)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.avg(F.length("w")), 4).alias("avg_word_len"),
+        F.count("*").alias("n_words"),
+    )
+
+
+def q12_lang_dist(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q13_minhash_bands(spark, sf_dir):
+    """MinHash-LSH banding for near-dup candidates: word 3-shingles ->
+    4 md5-min signatures -> bucket collisions (training-data op;
+    corpus-scale analog of SURVEY 2.9 canonicalization).  md5 is the
+    hash on both engines so signatures agree exactly."""
+    d = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "w")
+    )
+    sh = (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w1", "w2").alias("shingle"),
+        )
+    )
+    bands = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle"))).alias(f"h{b}")
+            for b in range(4)
+        ],
+    )
+    sig = bands.groupBy("doc_id").agg(
+        *[F.min(f"h{b}").alias(f"minh{b}") for b in range(4)]
+    )
+    out = []
+    for b in range(4):
+        bucket = sig.groupBy(F.col(f"minh{b}").alias("bucket")).agg(
+            F.count("*").alias("bucket_size")
+        ).filter("bucket_size > 1")
+        out.append(
+            bucket.agg(
+                F.lit(b).alias("band"),
+                F.count("*").alias("n_buckets"),
+                F.sum(
+                    F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+                ).cast("long").alias("n_candidate_pairs"),
+            )
+        )
+    res = out[0]
+    for x in out[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+def q14_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-5 ANN baseline (training-data op).
+    Query set = vec_id < 20; rounded sim so both engines rank alike."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    j = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot / (norm(F.col("qv")) * norm(F.col("cv"))), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def q17_span_assembly(spark, sf_dir):
+    """The BIO span operator cross-checked against an independent SQL
+    window formulation (SURVEY 2.5): keyword tokens form runs; count
+    spans + span lengths per doc."""
+    d = _load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "w")
+    )
+    kw = F.col("w").isin("spark", "join", "merge")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tagged = words.withColumn(
+        "is_kw", kw.cast("int")
+    ).withColumn(
+        "start",
+        (kw & ~F.coalesce(F.lag(kw, 1).over(w), F.lit(False))).cast("int"),
+    )
+    spans = (
+        tagged.withColumn(
+            "span_id",
+            F.sum("start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter("is_kw = 1")
+        .groupBy("doc_id", "span_id")
+        .agg(F.count("*").alias("span_len"))
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+        F.sum("span_len").alias("n_kw_tokens"),
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_order_priority": q03_order_priority,
+    "q04_running_total": q04_running_total,
+    "q05_topk_per_group": q05_topk_per_group,
+    "q06_sessionize": q06_sessionize,
+    "q07_asof_join": q07_asof_join,
+    "q08_cve_extract": q08_cve_extract,
+    "q09_exact_dedup": q09_exact_dedup,
+    "q10_token_stats": q10_token_stats,
+    "q11_quality_scores": q11_quality_scores,
+    "q12_lang_dist": q12_lang_dist,
+    "q13_minhash_bands": q13_minhash_bands,
+    "q14_embedding_knn": q14_embedding_knn,
+    "q15_rollup": q15_rollup,
+    "q16_event_windows": q16_event_windows,
+    "q17_span_assembly": q17_span_assembly,
+}
+
+
+def oracle_sql(sf_dir: str = "") -> dict[str, str]:
+    """DuckDB equivalents; tables are pre-registered views named like
+    the parquet files, so plain table names are used."""
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q03_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o_orderpriority
+        """,
+        "q04_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_total,
+                   round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2)
+                       AS delta_prev
+            FROM orders
+        """,
+        "q05_topk_per_group": """
+            SELECT user_id, event_id, round(value, 4) AS value, rk FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rk
+                FROM events) t
+            WHERE rk <= 3
+        """,
+        "q06_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM g
+            ), per_sess AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   round(avg(n_events), 4) AS avg_events_per_session,
+                   max(n_events) AS max_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "q07_asof_join": """
+            SELECT event_id, user_id, o_orderkey,
+                   round(o_totalprice, 2) AS last_order_price
+            FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+                FROM events e
+                JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ) t WHERE rk = 1
+        """,
+        "q08_cve_extract": f"""
+            SELECT cve, count(*) AS n_mentions,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, 'CVE-\\d+-\\d+')) AS cve
+                FROM {_values_sql()}
+            ) t GROUP BY cve
+        """,
+        "q09_exact_dedup": """
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "q10_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   max(n_tokens) AS max_tokens,
+                   min(n_tokens) AS min_tokens
+            FROM (SELECT lang, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+                  FROM documents) t
+            GROUP BY lang
+        """,
+        "q11_quality_scores": """
+            SELECT source,
+                   round(avg(CASE WHEN w IN ('the','a','of','to','and')
+                                  THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio,
+                   round(avg(length(w)), 4) AS avg_word_len,
+                   count(*) AS n_words
+            FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+                  FROM documents) t
+            WHERE w <> ''
+            GROUP BY source
+        """,
+        "q12_lang_dist": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "q13_minhash_bands": """
+            WITH words AS (
+                SELECT doc_id, w, pos FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+                    FROM documents) t
+            ), sh AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+                       lead(w, 2) OVER win AS w2
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), sig AS (
+                SELECT doc_id,
+                       min(md5('0' || '|' || shingle)) AS minh0,
+                       min(md5('1' || '|' || shingle)) AS minh1,
+                       min(md5('2' || '|' || shingle)) AS minh2,
+                       min(md5('3' || '|' || shingle)) AS minh3
+                FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id
+            ), buckets AS (
+                SELECT band, bucket, count(*) AS bucket_size FROM (
+                    SELECT 0 AS band, minh0 AS bucket FROM sig
+                    UNION ALL SELECT 1, minh1 FROM sig
+                    UNION ALL SELECT 2, minh2 FROM sig
+                    UNION ALL SELECT 3, minh3 FROM sig
+                ) u GROUP BY band, bucket HAVING count(*) > 1
+            )
+            SELECT band, count(*) AS n_buckets,
+                   CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+                       AS n_candidate_pairs
+            FROM buckets GROUP BY band
+        """,
+        "q14_embedding_knn": """
+            SELECT query_id, neighbor_id, sim, rk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(
+                         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) AS sim,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(
+                             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) , 4) DESC,
+                           c.vec_id) AS rk
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ) t WHERE rk <= 5
+        """,
+        "q15_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q16_event_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, event_type
+        """,
+        "q17_span_assembly": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                       generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+                FROM documents
+            ), tagged AS (
+                SELECT doc_id, pos,
+                       CASE WHEN w IN ('spark','join','merge') THEN 1 ELSE 0 END AS is_kw,
+                       CASE WHEN w IN ('spark','join','merge')
+                             AND coalesce(lag(w IN ('spark','join','merge')) OVER win, FALSE) = FALSE
+                            THEN 1 ELSE 0 END AS start
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), spans AS (
+                SELECT doc_id, span_id, count(*) AS span_len FROM (
+                    SELECT doc_id, is_kw,
+                           sum(start) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+                    FROM tagged) t
+                WHERE is_kw = 1 GROUP BY doc_id, span_id
+            )
+            SELECT doc_id, count(*) AS n_spans, max(span_len) AS max_span_len,
+                   sum(span_len) AS n_kw_tokens
+            FROM spans GROUP BY doc_id
+        """,
+    }
