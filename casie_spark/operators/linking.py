@@ -120,28 +120,49 @@ def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFram
     cand = cand.filter(_compat(F.col("subtype"), F.col("arg_type")))
 
     warg = Window.partitionBy("doc_id", "arg_id")
-    cand = cand.withColumn("n_cand", F.count("*").over(warg))
+    cand = cand.withColumn("n_cand", F.count("*").over(warg)).persist()
 
-    single = cand.filter(F.col("n_cand") == 1).drop("n_cand")
+    # --- tie-break info, computed ONLY for tokens inside the spans of
+    # multi-candidate arguments (a tiny fraction of the token stream;
+    # computing nearest-trigger over everything was the dominant cost)
+    multi_spans = (
+        cand.filter(F.col("n_cand") > 1)
+        .select("doc_id", "arg_id", "arg_sent", "arg_begin", "arg_end")
+        .distinct()
+    )
+    span_toks = tagged.select(
+        "doc_id", F.col("sent_id"), "token_id", "begin"
+    ).join(
+        multi_spans.select(
+            F.col("doc_id").alias("_m_doc"), "arg_id",
+            F.col("arg_sent").alias("_m_sent"), "arg_begin", "arg_end",
+        ),
+        (F.col("doc_id") == F.col("_m_doc"))
+        & (F.col("sent_id") == F.col("_m_sent"))
+        & (F.col("begin") >= F.col("arg_begin"))
+        & (F.col("begin") < F.col("arg_end")),
+        "inner",
+    ).select("doc_id", "arg_id", "sent_id", "token_id", "begin")
 
-    # --- tie-break for n_cand > 1 (link_coref.py:1380-1406) ---
-    multi = cand.filter(F.col("n_cand") > 1).drop("n_cand")
-    near = nearest_trigger(tagged).select(
+    near = _nearest_trigger_for(span_toks, tagged).select(
         F.col("doc_id").alias("_n_doc"),
-        F.col("sent_id").alias("_n_sent"),
+        F.col("arg_id").alias("_n_arg"),
         F.col("token_id"),
         F.col("begin"),
         "near_trigger", "trigger_position",
     )
-    # tokens of the argument span, with nearest-trigger info
-    mt = multi.join(
+
+    # --- unified pick (link_coref.py:1375-1406): a single-candidate
+    # argument attaches directly; a multi-candidate one attaches to the
+    # first (token order, then event order) candidate matching the
+    # nearest-trigger containment + direction rule.
+    j = cand.join(
         near,
         (F.col("doc_id") == F.col("_n_doc"))
-        & (F.col("arg_sent") == F.col("_n_sent"))
-        & (F.col("begin") >= F.col("arg_begin"))
-        & (F.col("begin") < F.col("arg_end")),
-        "inner",
-    ).drop("_n_doc", "_n_sent")
+        & (F.col("arg_id") == F.col("_n_arg"))
+        & (F.col("n_cand") > 1),
+        "left",
+    ).drop("_n_doc", "_n_arg")
 
     ev_tokens = F.split(F.col("event_text"), " ")
     contains = F.array_contains(ev_tokens, F.col("near_trigger"))
@@ -151,34 +172,41 @@ def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFram
         | ((F.col("trigger_position") == "after")
            & contains & (F.col("event_begin") >= F.col("begin")))
     )
-    wpick = Window.partitionBy("doc_id", "arg_id").orderBy("token_id", "event_id")
-    tiebreak = (
-        mt.filter(ok)
-        .withColumn("_rk", F.row_number().over(wpick))
-        .filter("_rk = 1")
-        .drop("_rk", "token_id", "begin", "near_trigger", "trigger_position")
+    valid = (F.col("n_cand") == 1) | F.coalesce(ok, F.lit(False))
+    wpick = Window.partitionBy("doc_id", "arg_id").orderBy(
+        F.when(valid, 0).otherwise(1), "token_id", "event_id"
     )
-
-    out = single.unionByName(tiebreak, allowMissingColumns=True)
+    out = (
+        j.withColumn("_valid", valid)
+        .withColumn("_rk", F.row_number().over(wpick))
+        .filter("_rk = 1 AND _valid")
+        .drop("_rk", "_valid", "n_cand", "token_id", "begin",
+              "near_trigger", "trigger_position")
+    )
     return out.drop("select_sent", "arg_end", "ev_sent")
 
 
 def nearest_trigger(tagged: DataFrame) -> DataFrame:
-    """Per token: nearest trigger surface + relative position.
+    """Per token: nearest trigger surface + relative position, for the
+    whole token stream (see _nearest_trigger_for for the restricted
+    variant the linker uses)."""
+    toks = tagged.select(
+        "doc_id", F.lit(0).alias("arg_id"), "sent_id", "token_id", "begin"
+    ).filter(F.col("begin").isNotNull())
+    return _nearest_trigger_for(toks, tagged).drop("arg_id")
+
+
+def _nearest_trigger_for(toks: DataFrame, tagged: DataFrame) -> DataFrame:
+    """Nearest trigger per (doc_id, arg_id, token).
 
     Deterministic analog of combineNearTrggr
     (parseJsontoFeatures.py:360-503): nearest same-sentence trigger by
     token distance (tie -> earlier trigger); if none, a trigger in the
-    previous/next sentence -> 'differsentence'.  Only tokens inside
-    argument spans are needed downstream, but computing for all tagged
-    tokens keeps this a single pass.
+    previous/next sentence -> 'differsentence'.
 
-    Returns (doc_id, sent_id, token_id, begin, near_trigger,
-    trigger_position).
+    toks: (doc_id, arg_id, sent_id, token_id, begin).
+    Returns + (near_trigger, trigger_position).
     """
-    toks = tagged.select("doc_id", "sent_id", "token_id", "begin").filter(
-        F.col("begin").isNotNull()
-    )
     trig = tagged.filter(F.col("trigger_tag") != "O").select(
         F.col("doc_id").alias("_t_doc"),
         F.col("sent_id").alias("t_sent"),
@@ -196,7 +224,7 @@ def nearest_trigger(tagged: DataFrame) -> DataFrame:
             "left",
         )
         .drop("_t_doc")
-        .groupBy("doc_id", "sent_id", "token_id")
+        .groupBy("doc_id", "arg_id", "sent_id", "token_id")
         .agg(
             F.first("begin").alias("begin"),
             # guard: a null ordering value is skipped by min_by, but a
@@ -212,7 +240,7 @@ def nearest_trigger(tagged: DataFrame) -> DataFrame:
         )
     )
     same_hit = samesent.filter(F.col("_best.t_tid").isNotNull()).select(
-        "doc_id", "sent_id", "token_id", "begin",
+        "doc_id", "arg_id", "sent_id", "token_id", "begin",
         F.col("_best.t_tok").alias("near_trigger"),
         F.when(F.col("_best.t_tid") < F.col("token_id"), "before")
         .otherwise("after")
@@ -221,7 +249,7 @@ def nearest_trigger(tagged: DataFrame) -> DataFrame:
 
     # tokens with no same-sentence trigger: look at sent +/- 1
     miss = samesent.filter(F.col("_best.t_tid").isNull()).select(
-        "doc_id", "sent_id", "token_id", "begin"
+        "doc_id", "arg_id", "sent_id", "token_id", "begin"
     )
     adj_hit = (
         miss.join(
@@ -231,7 +259,7 @@ def nearest_trigger(tagged: DataFrame) -> DataFrame:
             "inner",
         )
         .drop("_t_doc")
-        .groupBy("doc_id", "sent_id", "token_id")
+        .groupBy("doc_id", "arg_id", "sent_id", "token_id")
         .agg(
             F.first("begin").alias("begin"),
             F.min_by(

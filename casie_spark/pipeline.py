@@ -73,8 +73,11 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     """tagged tokens -> (subj, pred, obj) triples."""
-    events = extract_events(tagged, carry=["realis"])
-    args = extract_arguments(tagged, carry=["role"])
+    # events/args are each referenced more than once inside link();
+    # they are tiny relative to tokens — persist to stop subtree
+    # re-execution (Spark has no common-subplan reuse)
+    events = extract_events(tagged, carry=["realis"]).persist()
+    args = extract_arguments(tagged, carry=["role"]).persist()
     linked = link(events, args, tagged)
     rolled = assign_roles(linked)
 
