@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
+from ..util import materialize
 from .spans import assemble_spans
 
 
@@ -120,7 +121,7 @@ def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFram
     cand = cand.filter(_compat(F.col("subtype"), F.col("arg_type")))
 
     warg = Window.partitionBy("doc_id", "arg_id")
-    cand = cand.withColumn("n_cand", F.count("*").over(warg)).persist()
+    cand = materialize(cand.withColumn("n_cand", F.count("*").over(warg)))
 
     # --- tie-break info, computed ONLY for tokens inside the spans of
     # multi-candidate arguments (a tiny fraction of the token stream;

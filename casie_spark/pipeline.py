@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize
 from .operators.linking import extract_arguments, extract_events, link
 from .operators.roles import assign_roles
+from .operators.rules import apply_rules
 from .operators.tagging import tag_gold_replay, tag_rules
 from .operators.tokenizer import tokenize
 
@@ -55,20 +57,17 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     # subtree re-executes once per reference (measured: 16 copies, 125
     # exchanges).  persist() collapses them; at production scale this is
     # a parquet/Iceberg stage table instead (SURVEY.md section 4 item 4).
-    # Eager: independent downstream stages of one job run concurrently
-    # and would race to fill a lazy cache, each recomputing it.
-    toks = toks.persist()
-    toks.count()
+    # Eager materialization: independent downstream stages would race to
+    # fill a lazy cache, and repeated references re-execute the subtree.
+    toks = materialize(toks)
     if mode == "rules":
-        tagged = tag_rules(toks)
+        tagged = apply_rules(tag_rules(toks))
     elif mode == "gold":
         ev, ar = gold
         tagged = tag_gold_replay(toks, ev, ar)
     else:
         raise ValueError(f"unknown tagging mode: {mode}")
-    tagged = tagged.persist()
-    tagged.count()
-    return tagged
+    return materialize(tagged)
 
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:
@@ -76,8 +75,8 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     # events/args are each referenced more than once inside link();
     # they are tiny relative to tokens — persist to stop subtree
     # re-execution (Spark has no common-subplan reuse)
-    events = extract_events(tagged, carry=["realis"]).persist()
-    args = extract_arguments(tagged, carry=["role"]).persist()
+    events = materialize(extract_events(tagged, carry=["realis"]))
+    args = materialize(extract_arguments(tagged, carry=["role"]))
     linked = link(events, args, tagged)
     rolled = assign_roles(linked)
 

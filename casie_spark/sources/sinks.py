@@ -1,0 +1,137 @@
+"""Graph sinks: partitioned vertex/edge tables + resumable runs.
+
+Replaces the reference's per-token TSV / CoNLL corpus sinks
+(to_one_file_each link_coref.py:1727-1816, allfileoutput :1691-1703)
+with partitioned columnar graph tables:
+
+- edges(subj_id, pred, obj_id, doc_id, event_id, cluster_id,
+  event_subtype, realis, confidence, bucket) partitioned by
+  event_subtype (partition pruning for per-event-type queries) and
+  bucketed by url-hash for resume;
+- vertices(vertex_id, surface, kind, n_mentions) partitioned by kind.
+
+Iceberg would add snapshot lineage (`writeTo(...).overwritePartitions()`);
+the connector jar is absent in the sandbox, so parquet + manifest rows
+(casie_spark.manifests) provide the checkpoint/lineage story.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import manifests
+from ..util import materialize
+from ..operators.canonicalize import build_dictionary, canonicalize_surfaces
+from ..operators.coref import cluster_events
+from ..pipeline import tagged_tokens
+from ..operators.linking import extract_arguments, extract_events, link
+from ..operators.roles import assign_roles
+
+
+def build_graph(documents: DataFrame, mode: str = "rules", gold=None,
+                dictionary: DataFrame | None = None,
+                id_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """documents -> (vertices, edges) with canonical entity ids and
+    per-doc event-coref cluster ids."""
+    spark = documents.sparkSession
+    tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold)
+    events = materialize(extract_events(tagged, carry=["realis"]))
+    args = materialize(extract_arguments(tagged, carry=["role"]))
+    linked = materialize(assign_roles(link(events, args, tagged)))
+
+    clusters = cluster_events(events, linked)
+    d = dictionary if dictionary is not None else build_dictionary(spark)
+    canon = canonicalize_surfaces(
+        linked.withColumn("obj_surface", F.col("arg_text")), d, "obj_surface"
+    ).withColumnRenamed("canonical_id", "obj_id")
+
+    edges = (
+        canon.join(clusters, ["doc_id", "event_id"], "left")
+        .select(
+            F.concat(F.lit("event:"), F.col("doc_id"), F.lit("#"),
+                     F.col("event_id")).alias("subj_id"),
+            F.col("event_text").alias("subj_surface"),
+            F.coalesce("role", F.lit("has_argument")).alias("pred"),
+            F.coalesce("obj_id", F.lower("arg_text")).alias("obj_id"),
+            F.col("arg_text").alias("obj_surface"),
+            "doc_id", "event_id",
+            F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+            F.col("subtype").alias("event_subtype"),
+            (F.coalesce(F.col("realis"), F.lit("Actual"))
+             if "realis" in canon.columns else F.lit("Actual")).alias("realis"),
+            F.lit(1.0).alias("confidence"),
+        )
+    )
+
+    entity_verts = (
+        edges.groupBy(F.col("obj_id").alias("vertex_id"))
+        .agg(
+            F.min("obj_surface").alias("surface"),
+            F.count("*").alias("n_mentions"),
+        )
+        .withColumn("kind", F.lit("entity"))
+    )
+    event_verts = (
+        edges.groupBy(F.col("subj_id").alias("vertex_id"))
+        .agg(
+            F.min("subj_surface").alias("surface"),
+            F.count("*").alias("n_mentions"),
+        )
+        .withColumn("kind", F.lit("event"))
+    )
+    vertices = entity_verts.unionByName(event_verts)
+    return vertices, edges
+
+
+def write_graph(vertices: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    edges.write.mode("overwrite").partitionBy("event_subtype").parquet(
+        os.path.join(out_dir, "edges")
+    )
+    vertices.write.mode("overwrite").partitionBy("kind").parquet(
+        os.path.join(out_dir, "vertices")
+    )
+
+
+def resumable_run(documents: DataFrame, out_dir: str, n_buckets: int = 16,
+                  mode: str = "rules", id_col: str = "url") -> dict:
+    """Checkpoint-resumable triple extraction: processes only buckets
+    without an 'ok' manifest row; appends edges partitioned by
+    (event_subtype, bucket) + manifest rows.  Re-running after an
+    interruption completes the remainder; a completed run is a no-op.
+    """
+    spark = documents.sparkSession
+    stage = "edges"
+    pending = manifests.pending_buckets(spark, out_dir, stage, n_buckets)
+    if not pending:
+        return {"processed_buckets": [], "rows": 0}
+
+    all_docs = manifests.with_bucket(documents, id_col, n_buckets)
+    docs = all_docs.filter(F.col("bucket").isin(pending))
+    # a bucket is recorded complete only when the input actually
+    # contained documents for it — a partial input (e.g. an upstream
+    # read that silently lost partitions) must NOT mark absent buckets
+    # done, or resume would skip them forever
+    input_buckets = {
+        r["bucket"]
+        for r in docs.select("bucket").distinct().collect()
+    }
+    t0 = time.perf_counter()
+    vertices, edges = build_graph(docs.drop("bucket"), mode=mode, id_col=id_col)
+    edges = manifests.with_bucket(edges, "doc_id", n_buckets)
+    edges.persist()
+    per_bucket = {
+        r["bucket"]: r["n"]
+        for r in edges.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    per_bucket = {b: per_bucket.get(b, 0) for b in pending if b in input_buckets}
+    edges.write.mode("append").partitionBy("event_subtype", "bucket").parquet(
+        os.path.join(out_dir, "edges")
+    )
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    manifests.record(spark, out_dir, stage, per_bucket, wall_ms)
+    return {"processed_buckets": sorted(pending),
+            "rows": int(sum(per_bucket.values()))}
