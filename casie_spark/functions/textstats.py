@@ -1,0 +1,149 @@
+"""Text-analysis column functions for the training-data pipeline layer:
+language-ID heuristic, quality scoring, token counting, fingerprint
+hashing.  New capability beyond the reference (CASIE has no corpus-QA
+stage); designed for 100 TB corpora: every function here is a pure
+Catalyst column expression (JVM-side, whole-stage codegen, no Python),
+so it rides predicate pushdown / column pruning for free.
+
+Cross-engine invariant: ``hash16`` is the first 16 bits of md5 of the
+UTF-8 bytes, identical in Spark (``conv(substring(md5(x),1,4),16,10)``)
+and DuckDB (``('0x' || substring(md5(x),1,4))::int``) — every
+dedup/fingerprint oracle relies on this agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization ----------------------------------------------------------
+
+WORD_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols
+# (the shape GPT-2-style byte-BPE pre-splits on, minus unicode classes)
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def split_words(text: Column) -> Column:
+    return F.split(text, WORD_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(split_words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex pre-tokenizer token count (BPE-upper-bound estimate)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+# --- hashing ---------------------------------------------------------------
+
+def hash16(col: Column) -> Column:
+    """Deterministic 16-bit hash shared bit-for-bit with the DuckDB
+    oracle (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
+def hash16_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash16` for oracle SQL strings."""
+    return f"('0x' || substring(md5({expr}), 1, 4))::int"
+
+
+# --- language identification ----------------------------------------------
+
+# tiny per-language stopword profiles; the heuristic is
+# score(lang) = #tokens in profile, argmax with fixed tie-break order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "et", "une", "est", "dans", "pour"),
+    "es": ("el", "los", "y", "que", "una", "por", "con"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # tie-break precedence
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """words: array<string> -> {lang: hit-count column}."""
+    return {
+        lang: F.aggregate(
+            words, F.lit(0),
+            lambda acc, w: acc + F.when(w.isin(*prof), 1).otherwise(0),
+        )
+        for lang, prof in LANG_PROFILES.items()
+    }
+
+
+def predict_lang(words: Column) -> Column:
+    """Argmax language with LANG_ORDER tie-break; 'und' (undetermined)
+    when no profile word occurs."""
+    scores = lang_scores(words)
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(LANG_ORDER):
+        pred = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(pred)
+    return pred
+
+
+# --- quality scoring -------------------------------------------------------
+
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document quality features: token count, mean word
+    length, stopword ratio, alpha ratio, and a composite [0,1] score
+    (Gopher/C4-style length+stopword gates, rebuilt as column math)."""
+    words = split_words(F.col(text_col))
+    n_tokens = F.size(words)
+    n_stop = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.when(w.isin(*QUALITY_STOPWORDS), 1).otherwise(0),
+    )
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_word_len",
+                    F.round((n_chars - n_tokens + 1) / n_tokens, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 4))
+        .withColumn("alpha_ratio", F.round(n_alpha / n_chars, 4))
+    )
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .when(F.col("stopword_ratio") <= 0.0, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.col("alpha_ratio") * 0.5
+                + F.least(F.col("stopword_ratio") * 4, F.lit(0.5)),
+            )
+        )
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+# --- fingerprinting --------------------------------------------------------
+
+def shingle_fingerprints(words_df: DataFrame, mod: int = 16,
+                         doc_col: str = "doc_id", word_col: str = "w",
+                         pos_col: str = "pos") -> DataFrame:
+    """Mod-p sampled rolling fingerprints (MOSS/winnowing family):
+    3-word shingles -> hash16 -> keep hashes ≡ 0 (mod p).  The sample is
+    content-defined, so shared text yields shared fingerprints
+    regardless of position — the property plagiarism/near-dup mining
+    needs.  Returns (doc_id, fp) distinct."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    sh = (
+        words_df.withColumn("_w1", F.lead(word_col, 1).over(w))
+        .withColumn("_w2", F.lead(word_col, 2).over(w))
+        .filter(F.col("_w2").isNotNull())
+        .select(
+            doc_col,
+            hash16(F.concat_ws(" ", word_col, "_w1", "_w2")).alias("fp"),
+        )
+    )
+    return sh.filter(F.col("fp") % mod == 0).distinct()

@@ -1,0 +1,227 @@
+"""Corpus deduplication operators — exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+New capability beyond the reference (CASIE processes 1,000 curated
+articles and never dedups; a 10^12-page Common-Crawl corpus is ~30%
+duplicate).  Everything here is shuffle-shaped deliberately:
+
+- exact dedup: one hash-groupBy on a 128-bit content hash — a single
+  shuffle on a uniformly distributed key, no skew possible;
+- MinHash/SimHash: signatures are per-doc aggregations (map-side
+  partial agg), candidate generation is a groupBy on bucket keys whose
+  cardinality we control (bands × hash space), never an all-pairs join;
+- verification joins (exact Jaccard / cosine) run only on the candidate
+  pair set, which LSH keeps ~linear in corpus size.
+
+All hash primitives are :func:`casie_spark.functions.textstats.hash16`
+(md5-derived) so the DuckDB oracles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import hash16
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_copies,
+    keeper_doc_id). Keeper = min id (deterministic survivorship)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"),
+             F.min(id_col).alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1").drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def words_with_pos(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w")
+    )
+
+
+def word_shingles(words: DataFrame, n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """n-word shingles per document (order-preserving lead window)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(w).alias(f"_w{i}")
+                           for i in range(1, n)]
+    df = words.select(id_col, *cols)
+    last = f"_w{n - 1}"
+    return (
+        df.filter(F.col(last).isNotNull())
+        .select(id_col,
+                F.concat_ws(" ", "w", *[f"_w{i}" for i in range(1, n)])
+                .alias("shingle"))
+    )
+
+
+def minhash_signature(shingles: DataFrame, n_hashes: int = 4,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: n_hashes seeded md5-min columns.
+    One groupBy(doc_id) — partial aggregation keeps it one shuffle."""
+    hashed = shingles.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))).alias(f"h{b}")
+          for b in range(n_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{b}").alias(f"minh{b}") for b in range(n_hashes)]
+    )
+
+
+def minhash_candidate_pairs(sig: DataFrame, n_hashes: int = 4,
+                            id_col: str = "doc_id") -> DataFrame:
+    """LSH banding with band size 1: docs sharing any minhash column
+    become a candidate pair (doc_a < doc_b, distinct).  Self-join runs
+    per-bucket, so cost is Σ bucket² — linear for near-dup corpora."""
+    pairs = None
+    for b in range(n_hashes):
+        s = sig.select(F.col(id_col).alias("doc"), F.col(f"minh{b}").alias("bucket"))
+        p = (
+            s.alias("a").join(s.alias("b"), "bucket")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity for MinHash candidate pairs:
+    (doc_a, doc_b, jaccard).  The exact set intersection runs only on
+    LSH survivors — the standard two-phase near-dup design."""
+    sh = word_shingles(words_with_pos(docs, text_col, id_col), n, id_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sig = minhash_signature(sh, n_hashes, id_col)
+    cand = minhash_candidate_pairs(sig, n_hashes, id_col)
+
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(za, "doc_a").join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4)
+            .alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Charikar SimHash over word hashes: per bit, majority vote of
+    (2·bit−1) across the doc's words; near-duplicates land within small
+    Hamming distance.  Pure column math — one groupBy(doc_id) with
+    `bits` conditional sums, fully codegen'd, no UDF.
+
+    Returns (doc_id, simhash, band_hi, band_lo); the two 8-bit bands
+    are the LSH bucketing keys (dup candidates share a band)."""
+    words = words_with_pos(docs, text_col, id_col)
+    h = hash16(F.col("w"))
+    votes = [
+        F.sum(F.when(((h.bitwiseAND(1 << i)) != 0), 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    sig = words.groupBy(id_col).agg(*votes)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return sig.select(
+        id_col,
+        sh.alias("simhash"),
+    ).select(
+        id_col, "simhash",
+        F.shiftright(F.col("simhash"), 8).alias("band_hi"),
+        F.col("simhash").bitwiseAND(255).alias("band_lo"),
+    )
+
+
+def simhash_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pairs sharing either 8-bit band: (doc_a, doc_b, hamming)."""
+    out = None
+    for band in ("band_hi", "band_lo"):
+        s = sig.select(F.col(id_col).alias("doc"), F.col("simhash"),
+                       F.col(band).alias("bucket"))
+        p = (
+            s.alias("a").join(s.alias("b"), "bucket")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("xor"))
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct().select(
+        "doc_a", "doc_b", F.bit_count("xor").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine near-dup pairs (doc_a < doc_b, sim ≥ t).
+    Correctness baseline; the scale path buckets by hyperplane signs
+    first (similarity.lsh_neardup) so the join is per-bucket."""
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    j = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    sim = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 4)
+    return (
+        j.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
+    )

@@ -1,0 +1,179 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>) — brute-force cosine top-k baseline plus a
+hyperplane-sign LSH bucketed variant as the scale path.
+
+New capability beyond the reference (CASIE's only vector math is w2v
+cosine against tiny seed lists, link_coref.py:240-309).  Shuffle shape:
+
+- brute force: queries × corpus cross join — only for a bounded query
+  set (the exactness oracle);
+- LSH: one narrow projection computes an `n_planes`-bit signature per
+  vector (JVM-side fold, no UDF), then the join runs per bucket —
+  candidate count is |corpus| · avg_bucket_size / 2^bits instead of
+  |corpus|², and buckets are uniform by construction (random
+  hyperplanes), so no salting is needed.
+
+The hyperplanes are derived from md5 so the DuckDB oracle can embed the
+identical literals (``hyperplane_literals``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_DIM = 64
+DEFAULT_PLANES = 4
+
+
+def hyperplane(p: int, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    md5("hp{p}_{d}") first 16 bits -> affine map.  Pure function of
+    (p, d) so Spark and the SQL oracle share exact values."""
+    return [
+        (int(hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[:4], 16) % 2001
+         - 1000) / 1000.0
+        for d in range(dim)
+    ]
+
+
+def hyperplane_literals(n_planes: int = DEFAULT_PLANES,
+                        dim: int = DEFAULT_DIM) -> list[str]:
+    """SQL array literals of the hyperplanes, for oracle queries."""
+    return [
+        "[" + ", ".join(repr(v) for v in hyperplane(p, dim)) + "]"
+        for p in range(n_planes)
+    ]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(emb: DataFrame, k: int = 5, query_limit: int = 20,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for vectors with id < query_limit — the
+    recall oracle for the LSH path."""
+    q = emb.filter(F.col(id_col) < query_limit).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    j = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+DEFAULT_TABLES = 4
+
+
+def _bucket_expr(vec_col: str, table: int, n_planes: int, dim: int):
+    """AND-amplification: one n_planes-bit bucket key per hash table."""
+    bucket = None
+    for p in range(n_planes):
+        plane = F.lit(hyperplane(table * n_planes + p, dim))
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_signatures(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
+                   dim: int = DEFAULT_DIM, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_tables: int = 1) -> DataFrame:
+    """(id, vec, bucket0..bucket{T-1}): per table t, bucket_t =
+    Σ (dot(v, plane_{t·P+p}) > 0) << p.  AND over P planes (bucket
+    equality) × OR over T tables (candidate union) is the standard
+    (r, c)-amplification that makes sign-LSH usable."""
+    return emb.select(
+        F.col(id_col), F.col(vec_col),
+        *[_bucket_expr(vec_col, t, n_planes, dim).alias(f"bucket{t}")
+          for t in range(n_tables)],
+    )
+
+
+def lsh_candidates(sig: DataFrame, query_limit: int, n_tables: int,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Distinct (query_id, neighbor_id) pairs sharing any table's
+    bucket.  Each per-table join is an equi-join on a 2^P-ary key —
+    the 100 TB-safe shape (no cross join anywhere)."""
+    pairs = None
+    for t in range(n_tables):
+        q = sig.filter(F.col(id_col) < query_limit).select(
+            F.col(id_col).alias("query_id"), F.col(f"bucket{t}").alias("b"))
+        c = sig.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(f"bucket{t}").alias("b"))
+        p = q.join(c, "b").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "neighbor_id")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def lsh_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
+             n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM,
+             n_tables: int = DEFAULT_TABLES,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: multi-table hyperplane LSH candidates, exact cosine
+    rerank.  Candidate count ≈ T·|corpus|/2^P per query instead of
+    |corpus| — the scale path for brute_force_topk."""
+    sig = lsh_signatures(emb, n_planes, dim, id_col, vec_col, n_tables)
+    cand = lsh_candidates(sig, query_limit, n_tables, id_col)
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    j = (
+        cand.join(qv, "query_id").join(cv, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def lsh_neardup(emb: DataFrame, threshold: float = 0.4,
+                n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM,
+                n_tables: int = DEFAULT_TABLES,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs via bucket-restricted exact cosine —
+    the scale path for dedup.embedding_neardup (a true near-dup pair
+    has sim→1, so its sign bits agree in some table with high
+    probability)."""
+    sig = lsh_signatures(emb, n_planes, dim, id_col, vec_col, n_tables)
+    pairs = None
+    for t in range(n_tables):
+        a = sig.select(F.col(id_col).alias("doc_a"), F.col(f"bucket{t}").alias("b"))
+        b = sig.select(F.col(id_col).alias("doc_b"), F.col(f"bucket{t}").alias("b"))
+        p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")) \
+             .select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.distinct().join(va, "doc_a").join(vb, "doc_b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
+    )

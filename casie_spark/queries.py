@@ -373,6 +373,82 @@ def q17_span_assembly(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+def q18_simhash(spark, sf_dir):
+    """SimHash signatures + LSH bands per doc (training-data dedup op;
+    casie_spark.operators.dedup.simhash)."""
+    from .operators.dedup import simhash
+
+    return simhash(_load(spark, sf_dir, "documents"))
+
+
+def q19_ngram_jaccard(spark, sf_dir):
+    """Two-phase near-dup: MinHash-LSH candidates -> exact 3-gram
+    Jaccard (casie_spark.operators.dedup.ngram_jaccard)."""
+    from .operators.dedup import ngram_jaccard
+
+    return ngram_jaccard(_load(spark, sf_dir, "documents"))
+
+
+def q20_embedding_neardup(spark, sf_dir):
+    """Brute-force embedding-cosine near-dup pairs, sim >= 0.4
+    (casie_spark.operators.dedup.embedding_neardup)."""
+    from .operators.dedup import embedding_neardup
+
+    return embedding_neardup(_load(spark, sf_dir, "embeddings"), 0.4)
+
+
+def q21_ann_lsh(spark, sf_dir):
+    """Hyperplane-sign LSH-bucketed ANN top-3 — the scale path for q14
+    (casie_spark.operators.similarity.lsh_topk)."""
+    from .operators.similarity import lsh_topk
+
+    return lsh_topk(_load(spark, sf_dir, "embeddings"), k=3, query_limit=100)
+
+
+def q22_langid(spark, sf_dir):
+    """Stopword-profile language-ID heuristic -> confusion counts vs
+    the labeled lang column (casie_spark.functions.textstats)."""
+    from .functions.textstats import predict_lang, split_words
+
+    d = _load(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", predict_lang(split_words(F.col("text"))).alias("predicted_lang")
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+def q23_fingerprints(spark, sf_dir):
+    """Mod-16 sampled rolling-hash document fingerprints
+    (casie_spark.functions.textstats.shingle_fingerprints)."""
+    from .functions.textstats import shingle_fingerprints
+    from .operators.dedup import words_with_pos
+
+    d = _load(spark, sf_dir, "documents")
+    fps = shingle_fingerprints(words_with_pos(d))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+def q24_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata (bytes, content hash) per source — the
+    JVM-side half of the multimodal stage (operators.multimodal)."""
+    from .operators.multimodal import attach_binary
+
+    d = attach_binary(_load(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(F.length("blob")).alias("total_bytes"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_sha"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -391,7 +467,191 @@ QUERIES = {
     "q15_rollup": q15_rollup,
     "q16_event_windows": q16_event_windows,
     "q17_span_assembly": q17_span_assembly,
+    "q18_simhash": q18_simhash,
+    "q19_ngram_jaccard": q19_ngram_jaccard,
+    "q20_embedding_neardup": q20_embedding_neardup,
+    "q21_ann_lsh": q21_ann_lsh,
+    "q22_langid": q22_langid,
+    "q23_fingerprints": q23_fingerprints,
+    "q24_multimodal_meta": q24_multimodal_meta,
 }
+
+
+def _simhash_oracle() -> str:
+    from .functions.textstats import hash16_sql
+    from .operators.dedup import SIMHASH_BITS
+
+    h = hash16_sql("w")
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ), votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM words GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {combine} AS simhash FROM votes
+        )
+        SELECT doc_id, simhash, simhash >> 8 AS band_hi,
+               simhash & 255 AS band_lo
+        FROM sig
+    """
+
+
+def _ngram_jaccard_oracle() -> str:
+    return """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+            FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0|' || shingle)) AS minh0,
+                   min(md5('1|' || shingle)) AS minh1,
+                   min(md5('2|' || shingle)) AS minh2,
+                   min(md5('3|' || shingle)) AS minh3
+            FROM sh GROUP BY doc_id
+        ), buckets AS (
+            SELECT doc_id, 0 AS band, minh0 AS bucket FROM sig
+            UNION ALL SELECT doc_id, 1, minh1 FROM sig
+            UNION ALL SELECT doc_id, 2, minh2 FROM sig
+            UNION ALL SELECT doc_id, 3, minh3 FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(coalesce(i.n_inter, 0)
+                     / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes za ON za.doc_id = c.doc_a
+        JOIN sizes zb ON zb.doc_id = c.doc_b
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    from .operators.similarity import (
+        DEFAULT_PLANES,
+        DEFAULT_TABLES,
+        hyperplane_literals,
+    )
+
+    planes = hyperplane_literals(DEFAULT_TABLES * DEFAULT_PLANES)
+    buckets = []
+    for t in range(DEFAULT_TABLES):
+        expr = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{planes[t * DEFAULT_PLANES + p]}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(DEFAULT_PLANES)
+        )
+        buckets.append(f"{expr} AS bucket{t}")
+    bucket_cols = ",\n                   ".join(buckets)
+    unions = "\n            UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        f"FROM sig q JOIN sig c ON q.bucket{t} = c.bucket{t} "
+        f"WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id"
+        for t in range(DEFAULT_TABLES)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   {bucket_cols}
+            FROM embeddings
+        ), cand AS (
+            SELECT DISTINCT query_id, neighbor_id FROM (
+            {unions}
+            )
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rk
+            FROM scored
+        ) t WHERE rk <= 3
+    """
+
+
+def _langid_oracle() -> str:
+    from .functions.textstats import LANG_ORDER, LANG_PROFILES
+
+    score_cols = ",\n                   ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{t}'" for t in LANG_PROFILES[lg]), lg)
+        for lg in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    case = "CASE WHEN {b} = 0 THEN 'und' ".format(b=best) + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in LANG_ORDER
+    ) + " END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   {score_cols}
+            FROM (SELECT doc_id, lang,
+                         unnest(regexp_split_to_array(text, '\\s+')) AS w
+                  FROM documents) t
+            GROUP BY doc_id
+        )
+        SELECT lang, {case} AS predicted_lang, count(*) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """
+
+
+def _fingerprints_oracle() -> str:
+    from .functions.textstats import hash16_sql
+
+    h = hash16_sql("w || ' ' || w1 || ' ' || w2")
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, w, lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+            FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), fps AS (
+            SELECT DISTINCT doc_id, {h} AS fp
+            FROM sh WHERE {h} % 16 = 0
+        )
+        SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fps GROUP BY doc_id
+    """
 
 
 def oracle_sql(sf_dir: str = "") -> dict[str, str]:
@@ -600,5 +860,27 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
             SELECT doc_id, count(*) AS n_spans, max(span_len) AS max_span_len,
                    sum(span_len) AS n_kw_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "q18_simhash": _simhash_oracle(),
+        "q19_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q20_embedding_neardup": """
+            SELECT doc_a, doc_b, sim FROM (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                             4) AS sim
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            ) t WHERE sim >= 0.4
+        """,
+        "q21_ann_lsh": _ann_lsh_oracle(),
+        "q22_langid": _langid_oracle(),
+        "q23_fingerprints": _fingerprints_oracle(),
+        "q24_multimodal_meta": """
+            SELECT source, count(*) AS n_blobs,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   count(DISTINCT md5(text)) AS n_distinct_sha
+            FROM documents GROUP BY source
         """,
     }

