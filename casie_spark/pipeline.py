@@ -62,6 +62,13 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     toks = materialize(toks)
     if mode == "rules":
         tagged = apply_rules(tag_rules(toks))
+    elif mode == "model":
+        # broadcast-weight mapInPandas inference stage (SURVEY §2.10);
+        # same downstream rule sweeps as the reference applies after
+        # its model predictions (recheck/compatible/combine)
+        from .operators.model_tagger import tag_model
+
+        tagged = apply_rules(tag_model(toks))
     elif mode == "gold":
         ev, ar = gold
         tagged = tag_gold_replay(toks, ev, ar)

@@ -1,0 +1,84 @@
+"""Model-inference harness: the broadcast-weight mapInPandas tagger
+must honor the tagging column contract and reproduce the rule tagger's
+triples to high parity (its weights are distilled from the rule
+lexicons)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from casie_spark.operators.model_tagger import (
+    TaggerWeights,
+    distill_rule_weights,
+    tag_model,
+    token_id,
+)
+from casie_spark.operators.tokenizer import tokenize
+from casie_spark.pipeline import run_pipeline
+from casie_spark.sources.documents import synth_documents
+
+
+def test_token_id_stable_and_reserved():
+    assert token_id("Attack") == token_id("attack")
+    assert 2 <= token_id("x") < (1 << 16)
+    assert token_id("attack") == token_id("attack")
+
+
+def test_distilled_weights_shape():
+    w = distill_rule_weights()
+    assert w.w_trigger.shape[0] == w.w_arg.shape[0] == (1 << 16)
+    assert w.w_trigger.shape[1] == len(w.trigger_labels)
+    # the lexicon actually landed: some rows prefer a non-O label
+    assert (w.w_trigger.argmax(axis=1) > 0).sum() > 100
+    assert (w.w_arg.argmax(axis=1) > 0).sum() > 50
+
+
+def test_tag_model_contract(spark):
+    docs = spark.createDataFrame(
+        [("u1", "Hackers stealing $4 million and CVE-2019-0708 was exploited.")],
+        "url string, text string")
+    toks = tokenize(docs, id_col="url")
+    tagged = tag_model(toks)
+    assert {"trigger_tag", "arg_tag"} <= set(tagged.columns)
+    rows = {r["token"]: (r["trigger_tag"], r["arg_tag"])
+            for r in tagged.collect()}
+    assert rows["CVE-2019-0708"][1] == "B-CVE"
+    assert rows["Hackers"][1] == "B-Person"
+    # "stealing" stems to "steal" (Databreach lexicon)
+    assert rows["stealing"][0] == "B-Databreach"
+    assert rows["million"][1] in ("B-Money", "I-Money")
+
+
+def test_model_vs_rules_triple_parity(spark):
+    """Distilled weights must reproduce the rule pipeline's triples
+    almost exactly (difference: histogram-resolved 'general' nouns stay
+    O in the linear model)."""
+    docs = synth_documents(spark, 150, partitions=4)
+    rules_t = {tuple(r) for r in run_pipeline(docs, mode="rules")
+               .select("doc_id", "subj", "pred", "obj").distinct().collect()}
+    model_t = {tuple(r) for r in run_pipeline(docs, mode="model")
+               .select("doc_id", "subj", "pred", "obj").distinct().collect()}
+    tp = len(rules_t & model_t)
+    precision = tp / len(model_t)
+    recall = tp / len(rules_t)
+    assert precision >= 0.95, (precision, recall)
+    assert recall >= 0.90, (precision, recall)
+
+
+def test_custom_weights_injectable(spark):
+    """Zeroed weights -> everything O except JVM-side shape classes."""
+    import numpy as np
+
+    from casie_spark.operators.model_tagger import ARG_LABELS, TRIGGER_LABELS
+
+    w = TaggerWeights(
+        w_trigger=np.zeros((1 << 16, len(TRIGGER_LABELS)), dtype=np.float32),
+        w_arg=np.zeros((1 << 16, len(ARG_LABELS)), dtype=np.float32),
+    )
+    docs = spark.createDataFrame(
+        [("u1", "Hackers stole data on January 2019")], "url string, text string")
+    tagged = tag_model(tokenize(docs, id_col="url"), weights=w)
+    rows = {r["token"]: (r["trigger_tag"], r["arg_tag"]) for r in tagged.collect()}
+    assert rows["stole"] == ("O", "O")
+    assert rows["Hackers"] == ("O", "O")
+    assert rows["2019"][1] == "B-Time"  # JVM-side year shape survives
