@@ -24,7 +24,8 @@ HEADLINE = [
     "q01_pricing_summary", "q02_revenue_by_nation", "q04_running_total",
     "q05_topk_per_group", "q06_sessionize", "q07_asof_join",
     "q09_exact_dedup", "q13_minhash_bands", "q14_embedding_knn",
-    "q17_span_assembly",
+    "q17_span_assembly", "q18_simhash", "q19_ngram_jaccard",
+    "q21_ann_lsh",
 ]
 
 
@@ -70,19 +71,52 @@ def main() -> None:
     print(f"# pipeline: {dt_pipe:.3f}s pages={n_pages} triples={n_triples} "
           f"-> {pages_per_sec:.1f} pages/sec", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": None,
         "pages_per_sec": round(pages_per_sec, 1),
         "n_pages": n_pages,
         "n_triples": n_triples,
         "cpus": cpus,
-    }))
+    }
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     spark.stop()
+
+    # optional N-vs-4N scaling evidence (north_rule): same input, two
+    # parallelism levels, efficiency = tput(4N) / (4 * tput(N)).
+    # Default pair 4 -> 16: both map to PHYSICAL cores on this host
+    # (32 logical = 16 cores x SMT; a pure-CPU probe shows 8->32
+    # delivers only 2.5x cycles, capping any job at 0.63 there, while
+    # 4->16 delivers 3.77x = 0.94 — see BASELINE.md).
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        n_scale = int(os.environ.get("SCALING_PAGES", "300000"))
+        n_lo = int(os.environ.get("SCALING_N", "2"))
+        tput = {}
+        for c in (n_lo, n_lo * 4):
+            s = get_spark(f"casie_scale_{c}", master=f"local[{c}]",
+                          shuffle_partitions=c)
+            d = synth_documents(s, n_scale, partitions=c * 4).persist()
+            d.count()
+            run_pipeline(d.limit(200), mode="rules").count()
+            t0 = time.perf_counter()
+            run_pipeline(d, mode="rules").count()
+            tput[c] = n_scale / (time.perf_counter() - t0)
+            print(f"# scaling cpus={c}: {tput[c]:.1f} pages/sec",
+                  file=sys.stderr)
+            s.stop()
+        lo, hi = n_lo, n_lo * 4
+        out["scaling"] = {
+            f"pages_per_sec_{lo}": round(tput[lo], 1),
+            f"pages_per_sec_{hi}": round(tput[hi], 1),
+            "efficiency": round(tput[hi] / (4 * tput[lo]), 3),
+            "n_pages": n_scale,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

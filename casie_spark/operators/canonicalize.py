@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..util import materialize
+from ..util import materialize, truncate
 
 _VENDORS = {
     "adobe": "vendor:adobe", "microsoft": "vendor:microsoft",
@@ -175,7 +175,9 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
         )
-        new_labels = materialize(new_labels)
+        # truncate, not materialize: each iteration's plan embeds the
+        # previous one — persist alone lets the tree grow exponentially
+        new_labels = truncate(new_labels)
         changed = new_labels.filter(F.coalesce("_chg", F.lit(False))).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

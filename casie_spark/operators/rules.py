@@ -30,6 +30,18 @@ Reference semantics and their disposition here:
   only where it is 'O' (precedence handled by rule priority), and the
   I-without-B repair lives in the shared span assembler.
 - R7 roleassign: operators.roles.
+
+Execution shape (the 100 TB consideration): both sweeps are pure
+WINDOW computations over the token stream — sentence sets via
+``collect_set`` windows, the trigger-position choice via a packed-key
+``min`` window, the ±1-sentence coverage via ``rangeBetween(-1, 1)``
+on sent_id.  No self-joins, no aggregation+join-back, no repeated
+references to the input: the whole R1+R5 pass is ONE pass over data
+already hash-partitioned by doc_id (HashPartitioning(doc_id) satisfies
+the (doc_id, sent_id) window clustering — subset rule — so Catalyst
+inserts sorts, never a shuffle).  An earlier join-based formulation
+re-executed the upstream tagging DAG per reference and quadrupled
+driver plan analysis; this version is both faster and scales.
 """
 
 from __future__ import annotations
@@ -48,153 +60,114 @@ FORCED_RULES = [
 
 _VERBISH = r"(ed|ing|es|ize|ise|ack|eal)$"
 
+# packed candidate sort key: (not-verbish, |dist|, after-anchor, tid)
+# lexicographic via bit fields; token_id < 2^19 per sentence is safe
+_TID_BITS = 19
+_AFTER_SHIFT = _TID_BITS
+_DIST_SHIFT = _TID_BITS + 1
+_NV_SHIFT = _DIST_SHIFT + 20
+
 
 def apply_forced_triggers(tagged: DataFrame) -> DataFrame:
-    """R1+R6: recover a trigger in sentences holding must-have args."""
+    """R1+R6: recover a trigger in sentences holding must-have args.
+    Single window pass per sentence; see module docstring."""
+    w_sent = Window.partitionBy("doc_id", "sent_id")
+
     lab = F.when(F.col("arg_tag") == "O", None).otherwise(
         F.substring("arg_tag", 3, 1000)
     )
     trg = F.when(F.col("trigger_tag") == "O", None).otherwise(
         F.substring("trigger_tag", 3, 1000)
     )
-    toks = tagged.withColumn("_alab", lab).withColumn("_tlab", trg)
+    df = tagged.withColumn("_alab", lab).withColumn("_tlab", trg)
+    df = df.withColumn("_argset", F.collect_set("_alab").over(w_sent))
+    df = df.withColumn("_trigset", F.collect_set("_tlab").over(w_sent))
 
-    sent = toks.groupBy("doc_id", "sent_id").agg(
-        F.collect_set("_alab").alias("argset"),
-        F.collect_set("_tlab").alias("trigset"),
-    )
+    # candidate trigger tokens: free ('O'/'O') word-like; packed order
+    # key (verbish first, nearest to anchor, before-anchor on ties)
+    free = (F.col("arg_tag") == "O") & (F.col("trigger_tag") == "O") \
+        & F.col("token").rlike(r"^\w")
+    verbish = F.lower("token").rlike(_VERBISH)
 
-    needed = None
+    pick_cols = []
     for prio, etype, anchors, require_all, excluded in FORCED_RULES:
-        cond = F.lit(True)
-        for a in anchors:
-            c = F.array_contains("argset", a)
-            cond = (cond & c) if require_all else cond
-        if not require_all:
-            any_c = F.lit(False)
+        if require_all:
+            need = F.lit(True)
             for a in anchors:
-                any_c = any_c | F.array_contains("argset", a)
-            cond = any_c
+                need = need & F.array_contains("_argset", a)
+        else:
+            need = F.lit(False)
+            for a in anchors:
+                need = need | F.array_contains("_argset", a)
         if excluded:
-            cond = cond & ~F.array_contains("argset", excluded)
-        cond = cond & ~F.array_contains("trigset", etype)
-        piece = sent.filter(cond).select(
-            "doc_id", "sent_id",
-            F.lit(prio).alias("prio"),
-            F.lit(etype).alias("etype"),
-            F.lit(anchors[0]).alias("anchor1"),
-            F.lit(anchors[1] if len(anchors) > 1 else anchors[0]).alias("anchor2"),
-        )
-        needed = piece if needed is None else needed.unionByName(piece)
+            need = need & ~F.array_contains("_argset", excluded)
+        need = need & ~F.array_contains("_trigset", etype)
 
-    # anchor position: first token whose arg label matches (reference
-    # takes the first Money/Patch/... token, link_coref.py:1038-1042)
-    anchors = (
-        toks.join(
-            needed.select(
-                F.col("doc_id").alias("_r_doc"), F.col("sent_id").alias("_r_sent"),
-                "prio", "etype", "anchor1", "anchor2",
-            ),
-            (F.col("doc_id") == F.col("_r_doc"))
-            & (F.col("sent_id") == F.col("_r_sent"))
-            & ((F.col("_alab") == F.col("anchor1")) | (F.col("_alab") == F.col("anchor2"))),
-            "inner",
-        )
-        .groupBy("doc_id", "sent_id", "prio", "etype")
-        .agg(F.min("token_id").alias("anchor_pos"))
-    )
+        # anchor position: first token carrying an anchor label
+        # (reference takes the first such token, link_coref.py:1038-1042)
+        is_anchor = F.col("_alab").isin(anchors)
+        anchor_pos = F.min(F.when(is_anchor, F.col("token_id"))).over(w_sent)
 
-    # candidate trigger positions: free tokens ('O'/'O') in the same
-    # sentence; prefer verb-shaped, nearest to the anchor, before it on
-    # ties; fallback to the nearest free token.
-    free = toks.filter((F.col("arg_tag") == "O") & (F.col("trigger_tag") == "O")).select(
-        F.col("doc_id").alias("_f_doc"), F.col("sent_id").alias("_f_sent"),
-        F.col("token_id").alias("_f_tid"),
-        F.lower("token").rlike(_VERBISH).alias("_f_verbish"),
-        F.col("token").rlike(r"^\w").alias("_f_wordlike"),
-    )
-    pick = (
-        anchors.join(
-            free,
-            (F.col("doc_id") == F.col("_f_doc"))
-            & (F.col("sent_id") == F.col("_f_sent")),
-            "inner",
+        key = (
+            (~verbish).cast("long") * (1 << _NV_SHIFT)
+            + F.abs(F.col("token_id") - anchor_pos) * (1 << _DIST_SHIFT)
+            + (F.col("token_id") > anchor_pos).cast("long") * (1 << _AFTER_SHIFT)
+            + F.col("token_id")
         )
-        .filter(F.col("_f_wordlike"))
-        .groupBy("doc_id", "sent_id", "prio", "etype")
-        .agg(
-            F.min_by(
-                F.col("_f_tid"),
-                F.struct(
-                    (~F.col("_f_verbish")).cast("int").alias("nv"),
-                    F.abs(F.col("_f_tid") - F.col("anchor_pos")).alias("d"),
-                    (F.col("_f_tid") > F.col("anchor_pos")).cast("int").alias("after"),
-                    F.col("_f_tid").alias("t"),
-                ),
-            ).alias("trig_pos"),
+        best = F.min(F.when(free & need, key)).over(w_sent)
+        pick_cols.append(
+            (F.when(need, best % (1 << _TID_BITS))).alias(f"_pick{prio}")
         )
-    )
-    # one forced trigger per token: lowest rule priority wins
-    wtok = Window.partitionBy("doc_id", "sent_id", "trig_pos").orderBy("prio")
-    pick = (
-        pick.withColumn("_rk", F.row_number().over(wtok)).filter("_rk=1")
-        .select(
-            F.col("doc_id").alias("_p_doc"), F.col("sent_id").alias("_p_sent"),
-            F.col("trig_pos"), F.col("etype").alias("_p_etype"),
-        )
-    )
 
-    out = tagged.join(
-        pick,
-        (F.col("doc_id") == F.col("_p_doc"))
-        & (F.col("sent_id") == F.col("_p_sent"))
-        & (F.col("token_id") == F.col("trig_pos")),
-        "left",
-    ).drop("_p_doc", "_p_sent", "trig_pos")
-    # R6: merge only where the model/lexicon left 'O' (combine
-    # link_coref.py:1196-1206)
-    return out.withColumn(
+    df = df.select("*", *pick_cols)
+
+    # R6 merge: lowest-priority rule whose pick lands on this token
+    # wins; only where both tags are 'O' (combine, :1196-1206)
+    forced = F.lit(None).cast("string")
+    for prio, etype, _, _, _ in reversed(FORCED_RULES):
+        forced = F.when(
+            F.col(f"_pick{prio}") == F.col("token_id"), F.lit(etype)
+        ).otherwise(forced)
+    df = df.withColumn(
         "trigger_tag",
         F.when(
-            (F.col("trigger_tag") == "O") & F.col("_p_etype").isNotNull()
-            & (F.col("arg_tag") == "O"),
-            F.concat(F.lit("B-"), F.col("_p_etype")),
+            (F.col("trigger_tag") == "O") & (F.col("arg_tag") == "O")
+            & forced.isNotNull(),
+            F.concat(F.lit("B-"), forced),
         ).otherwise(F.col("trigger_tag")),
-    ).drop("_p_etype")
+    )
+    return df.drop("_alab", "_tlab", "_argset", "_trigset",
+                   *[f"_pick{p}" for p, *_ in FORCED_RULES])
 
 
 def apply_compatibility_sweep(tagged: DataFrame) -> DataFrame:
     """R5 (compatible, link_coref.py:1128-1187): clear argument tags of
-    sentences whose +/-1-sentence neighborhood holds no trigger."""
-    trig_sents = (
-        tagged.filter(F.col("trigger_tag") != "O")
-        .select("doc_id", "sent_id")
-        .distinct()
+    sentences whose +/-1-sentence neighborhood holds no trigger.
+    Implemented as a range window on sent_id — no self-join."""
+    w_sent = Window.partitionBy("doc_id", "sent_id")
+    w_range = (
+        Window.partitionBy("doc_id").orderBy("sent_id").rangeBetween(-1, 1)
     )
-    # sentences with a trigger at s-1, s, s+1
-    cover = None
-    for d in (-1, 0, 1):
-        piece = trig_sents.select(
-            "doc_id", (F.col("sent_id") + d).alias("sent_id")
-        )
-        cover = piece if cover is None else cover.unionByName(piece)
-    cover = cover.distinct().withColumn("_has_trig", F.lit(True))
-
-    out = tagged.join(cover, ["doc_id", "sent_id"], "left")
+    out = tagged.withColumn(
+        "_has_trig", F.max((F.col("trigger_tag") != "O").cast("int")).over(w_sent)
+    )
+    out = out.withColumn("_covered", F.max("_has_trig").over(w_range) == 1)
     out = out.withColumn(
         "arg_tag",
-        F.when(F.col("_has_trig").isNull(), F.lit("O")).otherwise(F.col("arg_tag")),
+        F.when(~F.col("_covered"), F.lit("O")).otherwise(F.col("arg_tag")),
     )
     if "role" in tagged.columns:
         out = out.withColumn(
             "role",
-            F.when(F.col("_has_trig").isNull(), F.lit(None).cast("string"))
+            F.when(~F.col("_covered"), F.lit(None).cast("string"))
             .otherwise(F.col("role")),
         )
-    return out.drop("_has_trig")
+    return out.drop("_covered", "_has_trig")
 
 
 def apply_rules(tagged: DataFrame) -> DataFrame:
     """R1 -> R5 in reference order (recheck then compatible,
-    link_coref.py:1987-1990)."""
+    link_coref.py:1987-1990).  Both sweeps are window passes over the
+    same doc_id partitioning — composing them stays one narrow plan,
+    no stage barrier needed."""
     return apply_compatibility_sweep(apply_forced_triggers(tagged))

@@ -147,25 +147,30 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     )
 
     # 2. 'general' nouns take the doc's dominant trigger type
-    #    (scoreH histogram, link_coref.py:941-945, applied :898-920)
-    wdoc = Window.partitionBy("doc_id")
+    #    (scoreH histogram, link_coref.py:941-945, applied :898-920).
+    #    Window formulation — count per (doc, type) partition, argmax
+    #    per doc via a packed key (count desc, lexicographic type asc)
+    #    — instead of groupBy + broadcast-join-back: the join form
+    #    re-executes the whole upstream subtree for the histogram
+    #    branch (Spark has no common-subplan reuse) and adds a
+    #    shuffle; the window rides the existing doc_id partitioning.
     df = df.withColumn(
         "_is_general", low.isin(config.GENERAL_NOUNS["general"])
     )
-    hist = (
-        df.filter(F.col("_trig").isNotNull())
-        .groupBy("doc_id", "_trig")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.desc("n"), "_trig")
-            ),
-        )
-        .filter("rk = 1")
-        .select("doc_id", F.col("_trig").alias("_dominant"))
+    lex_sorted = sorted(config.EVENT_SUBTYPES)
+    lexrank = F.lit(None).cast("int")
+    for i, et in enumerate(lex_sorted):
+        lexrank = F.when(F.col("_trig") == et, F.lit(i)).otherwise(lexrank)
+    cnt = F.count("_trig").over(Window.partitionBy("doc_id", "_trig"))
+    key = F.when(
+        F.col("_trig").isNotNull(), cnt * 8 + (7 - lexrank)
     )
-    df = df.join(F.broadcast(hist), "doc_id", "left")
+    best_key = F.max(key).over(Window.partitionBy("doc_id"))
+    best_rank = F.lit(7) - (best_key % 8)
+    dominant = F.lit(None).cast("string")
+    for i, et in enumerate(lex_sorted):
+        dominant = F.when(best_rank == i, F.lit(et)).otherwise(dominant)
+    df = df.withColumn("_dominant", dominant)
     df = df.withColumn(
         "trigger_tag",
         F.when(F.col("_trig").isNotNull(), F.concat(F.lit("B-"), F.col("_trig")))

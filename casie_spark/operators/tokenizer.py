@@ -29,10 +29,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-TOKENS_SCHEMA = (
-    "doc_id string, sent_id int, token_id int, token string, "
+TOKENS_SCHEMA_TMPL = (
+    "doc_id {id_type}, sent_id int, token_id int, token string, "
     "begin long, end long"
 )
+TOKENS_SCHEMA = TOKENS_SCHEMA_TMPL.format(id_type="string")
 
 # Order matters: CVE > version > number > word(+internal '-/'), > single char.
 _TOKEN_RE = re.compile(
@@ -66,12 +67,19 @@ def tokenize_text(text: str) -> list[tuple[int, int, str, int, int]]:
     return out
 
 
-def tokenize(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def tokenize(documents: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", id_type: str = "string") -> DataFrame:
     """documents -> tokens(doc_id, sent_id, token_id, token, begin, end).
 
     Column-pruned before the UDF so Arrow only ships (id, text).
+    ``id_type='long'`` keeps a numeric key numeric — the pipeline hashes
+    urls to 8-byte keys so every downstream sort/shuffle compares longs,
+    not ~30-char url strings (a 2x memory-bandwidth saving on the token
+    stream's window sorts at scale).
     """
-    pruned = documents.selectExpr(f"cast({id_col} as string) as doc_id", f"{text_col} as text")
+    pruned = documents.selectExpr(
+        f"cast({id_col} as {id_type}) as doc_id", f"{text_col} as text"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,4 +104,4 @@ def tokenize(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text
                  "token": txt, "begin": b, "end": e}
             )
 
-    return pruned.mapInPandas(run, schema=TOKENS_SCHEMA)
+    return pruned.mapInPandas(run, schema=TOKENS_SCHEMA_TMPL.format(id_type=id_type))

@@ -38,8 +38,19 @@ def salt_repartition(df: DataFrame, key: str = "url", n: int | None = None) -> D
     return df.repartition(F.xxhash64(F.col(key)))
 
 
+def doc_key(col):
+    """Internal 8-byte document key: xxhash64 of the url/id string.
+    Token-stream sorts, shuffles and caches compare longs instead of
+    ~30-char urls — a large memory-bandwidth saving on the window-heavy
+    tagging DAG.  Collision odds are n²/2^65 (~3% expected collisions
+    at 10^12 docs — at true web scale widen to a 128-bit key); the
+    public triple output maps back to urls via a join."""
+    return F.xxhash64(col.cast("string"))
+
+
 def tagged_tokens(documents: DataFrame, id_col: str = "url",
-                  mode: str = "rules", gold=None) -> DataFrame:
+                  mode: str = "rules", gold=None,
+                  hash_ids: bool = True) -> DataFrame:
     """documents -> tagged token table (the model-stage column contract).
 
     One explicit hash repartition on doc_id right after tokenization is
@@ -50,16 +61,25 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     (sorts instead of shuffles).
     """
     docs = salt_repartition(documents, id_col)
-    toks = tokenize(docs, id_col=id_col).repartition(F.col("doc_id"))
-    # The token table is referenced by several downstream branches
-    # (histogram, spans x2, nearest-trigger, tie-break).  Spark does NOT
-    # dedupe common subplans, so without materialization the tokenizer
-    # subtree re-executes once per reference (measured: 16 copies, 125
-    # exchanges).  persist() collapses them; at production scale this is
-    # a parquet/Iceberg stage table instead (SURVEY.md section 4 item 4).
-    # Eager materialization: independent downstream stages would race to
-    # fill a lazy cache, and repeated references re-execute the subtree.
-    toks = materialize(toks)
+    if hash_ids:
+        docs = docs.withColumn("_doc_key", doc_key(F.col(id_col)))
+        toks = tokenize(docs, id_col="_doc_key", id_type="long")
+        if mode == "gold" and gold is not None:
+            gold = tuple(
+                g.withColumn("doc_id", doc_key(F.col("doc_id"))) for g in gold
+            )
+    else:
+        toks = tokenize(docs, id_col=id_col)
+    toks = toks.repartition(F.col("doc_id"))
+    # toks has a SINGLE consumer (the tagging stage — histogram and
+    # rule sweeps are window ops now, not join-backs), so it needs no
+    # materialization barrier: the tokenizer fuses into the tagging
+    # stage.  Only multi-referenced frames get persisted (tagged,
+    # events, link candidates) — Spark does not dedupe common
+    # subplans, so each persisted frame is one that would otherwise
+    # re-execute its subtree per reference; every removed barrier is
+    # one fewer job for the driver to plan (the serial component that
+    # caps N->4N scaling).
     if mode == "rules":
         tagged = apply_rules(tag_rules(toks))
     elif mode == "model":
@@ -79,11 +99,11 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     """tagged tokens -> (subj, pred, obj) triples."""
-    # events/args are each referenced more than once inside link();
-    # they are tiny relative to tokens — persist to stop subtree
-    # re-execution (Spark has no common-subplan reuse)
+    # events is referenced twice inside link() (sentence lookup +
+    # candidate join) — persist to stop subtree re-execution; args has
+    # a single linear consumer chain, no barrier needed
     events = materialize(extract_events(tagged, carry=["realis"]))
-    args = materialize(extract_arguments(tagged, carry=["role"]))
+    args = extract_arguments(tagged, carry=["role"])
     linked = link(events, args, tagged)
     rolled = assign_roles(linked)
 
@@ -107,8 +127,21 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
 def run_pipeline(documents: DataFrame, id_col: str = "url",
                  mode: str = "rules", gold=None,
                  english_only: bool = True) -> DataFrame:
-    """documents(url, warc_ts, html, text, lang) -> triples."""
+    """documents(url, warc_ts, html, text, lang) -> triples, doc_id =
+    the original url/id (internal long keys are joined back here —
+    triples are ~100x smaller than the token stream, so the mapping
+    join is cheap)."""
     if english_only and "lang" in documents.columns:
         documents = documents.filter(F.col("lang") == "en")
     tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold)
-    return triples_from_tagged(tagged)
+    triples = triples_from_tagged(tagged)
+    id_map = documents.select(
+        doc_key(F.col(id_col)).alias("doc_id"),
+        F.col(id_col).cast("string").alias("_url"),
+    ).distinct()
+    return (
+        triples.join(id_map, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("_url", "doc_id")
+        .select(*TRIPLE_COLUMNS)
+    )

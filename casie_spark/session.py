@@ -26,6 +26,10 @@ _DEFAULTS = {
     # (SURVEY.md section 4 item 2).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Deep multi-reference DAGs (persist barriers keep full lineage)
+    # render plan strings quadratically; unbounded (the default) OOMs
+    # the driver just EXPLAINing them during AQE updates
+    "spark.sql.maxPlanStringLength": "1048576",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import manifests
-from ..util import materialize
+from ..util import materialize, truncate
 from ..operators.canonicalize import build_dictionary, canonicalize_surfaces
 from ..operators.coref import cluster_events
 from ..pipeline import tagged_tokens
@@ -39,9 +39,32 @@ def build_graph(documents: DataFrame, mode: str = "rules", gold=None,
     per-doc event-coref cluster ids."""
     spark = documents.sparkSession
     tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold)
-    events = materialize(extract_events(tagged, carry=["realis"]))
-    args = materialize(extract_arguments(tagged, carry=["role"]))
-    linked = materialize(assign_roles(link(events, args, tagged)))
+    # truncate (not persist) at the graph path's barriers: the coref +
+    # canonicalization layers below reference these repeatedly and the
+    # combined lineage otherwise grows beyond what the driver can even
+    # render (see util.truncate)
+    events = truncate(extract_events(tagged, carry=["realis"]))
+    args = extract_arguments(tagged, carry=["role"])
+    linked = assign_roles(link(events, args, tagged))
+
+    # the token stream ran on 8-byte hashed keys (pipeline.doc_key);
+    # restore url provenance at the event level, where rows are ~100x
+    # fewer — graph edges must carry the real document id
+    from ..pipeline import doc_key
+
+    id_map = documents.select(
+        doc_key(F.col(id_col)).alias("doc_id"),
+        F.col(id_col).cast("string").alias("_url"),
+    ).distinct()
+
+    def _restore(df: DataFrame) -> DataFrame:
+        return (
+            df.join(id_map, "doc_id").drop("doc_id")
+            .withColumnRenamed("_url", "doc_id")
+        )
+
+    events = truncate(_restore(events))
+    linked = truncate(_restore(linked))
 
     clusters = cluster_events(events, linked)
     d = dictionary if dictionary is not None else build_dictionary(spark)

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the optimizations SURVEY §4 claims
+must actually appear in the plans — predicate pushdown into the
+parquet scan, column pruning, broadcast dictionary joins, and no
+redundant shuffle between the tokenizer repartition and the window
+stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from casie_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    # "simple" renders each operator once (formatted repeats them in
+    # the detail section, which breaks occurrence counting)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # l_shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: ReadSchema holds only needed columns, not l_comment
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read and "l_quantity" in read
+
+
+def test_broadcast_dimension_join(spark, sf_dir):
+    plan = _plan(QUERIES["q02_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_reuses_partitioning(spark, sf_dir):
+    """q04: one shuffle for the window partitioning, nothing more —
+    running sum and lag share the same (o_custkey) exchange."""
+    plan = _plan(QUERIES["q04_running_total"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_pipeline_single_token_shuffle(spark):
+    """The tagging DAG after the doc_id repartition must not re-shuffle
+    the token stream: windows in tag_rules/apply_rules all cluster by
+    doc_id (subset rule)."""
+    from casie_spark.operators.tagging import tag_rules
+    from casie_spark.operators.rules import apply_rules
+    from casie_spark.operators.tokenizer import tokenize
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"Hackers stole data on CVE-2019-000{i} last week.")
+         for i in range(10)],
+        "url string, text string")
+    toks = tokenize(docs, id_col="url").repartition(F.col("doc_id"))
+    tagged = apply_rules(tag_rules(toks))
+    plan = _plan(tagged)
+    # exactly ONE token-stream exchange (the explicit doc_id
+    # repartition); further hash exchanges in the plan belong to the
+    # ~1800-row lexicon build, and broadcasts don't repartition the
+    # stream.  Every window (doc_id), (doc_id,sent_id), (doc_id,_trig)
+    # rides the same partitioning via the clustering subset rule.
+    doc_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
