@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..config import COREF_THRESHOLD, COREF_WEIGHTS
 
-OUT_SCHEMA = "doc_id string, event_id long, cluster_id long"
+OUT_SCHEMA_TMPL = "doc_id {id_type}, event_id long, cluster_id long"
 
 
 def _trigram_jaccard(a: str, b: str) -> float:
@@ -145,4 +145,8 @@ def cluster_events(events: DataFrame, linked: DataFrame) -> DataFrame:
         F.col("text").alias("event_text"),
         (F.col("realis") if "realis" in events.columns else F.lit(None).cast("string")).alias("realis"),
     ).join(argl, ["doc_id", "event_id"], "left")
-    return base.groupBy("doc_id").applyInPandas(_cluster_doc, schema=OUT_SCHEMA)
+    # doc_id type follows the input (url string or hashed long key)
+    id_type = dict(events.dtypes)["doc_id"]
+    return base.groupBy("doc_id").applyInPandas(
+        _cluster_doc, schema=OUT_SCHEMA_TMPL.format(id_type=id_type)
+    )

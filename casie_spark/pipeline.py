@@ -103,6 +103,13 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     # candidate join) — persist to stop subtree re-execution; args has
     # a single linear consumer chain, no barrier needed
     events = materialize(extract_events(tagged, carry=["realis"]))
+    if "realis" not in events.columns:
+        # rules/model tagging carries no realis — run the M4 stage
+        # (two-pass cue classifier over the ±7-token W2 window); gold
+        # replay keeps the annotated labels instead
+        from .operators.realis import with_realis
+
+        events = materialize(with_realis(events, tagged))
     args = extract_arguments(tagged, carry=["role"])
     linked = link(events, args, tagged)
     rolled = assign_roles(linked)

@@ -449,6 +449,63 @@ def q24_multimodal_meta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# pipeline-native operators (no ANSI-SQL oracle: iterative clustering /
+# Arrow-UDF stages; the driver records the weaker rows-only check)
+# ---------------------------------------------------------------------------
+
+def q25_event_coref(spark, sf_dir):
+    """Per-doc agglomerative event coreference (reference weights/
+    threshold link_coref.py:2041-2044) over the deterministic synth
+    corpus -> cluster-size histogram.  applyInPandas per doc; not
+    SQL-expressible (iterative average-linkage clustering)."""
+    from .operators.coref import cluster_events
+    from .operators.linking import extract_arguments, extract_events, link
+    from .operators.roles import assign_roles
+    from .pipeline import tagged_tokens
+    from .sources.documents import synth_documents
+    from .util import materialize
+
+    docs = synth_documents(spark, 200)
+    tagged = tagged_tokens(docs, id_col="url", mode="rules")
+    events = materialize(extract_events(tagged, carry=["realis"]))
+    linked = assign_roles(link(events, extract_arguments(tagged, carry=["role"]), tagged))
+    clusters = cluster_events(events, linked)
+    sizes = clusters.groupBy("doc_id", "cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).orderBy("sz")
+
+
+def q26_canonical_graph(spark, sf_dir):
+    """Full graph materialization: canonicalized edges per event
+    subtype + vertex kinds (broadcast dictionary + MinHash-LSH +
+    connected components; operators.canonicalize, sources.sinks)."""
+    from .sources.documents import synth_documents
+    from .sources.sinks import build_graph
+
+    docs = synth_documents(spark, 200)
+    vertices, edges = build_graph(docs, mode="rules")
+    by_sub = edges.groupBy("event_subtype").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("obj_id").alias("n_entities"),
+    )
+    return by_sub.orderBy("event_subtype")
+
+
+def q27_model_inference(spark, sf_dir):
+    """Broadcast-weight mapInPandas tagging (operators.model_tagger) ->
+    triples per subtype; exercises the M1/M2 inference harness."""
+    from .pipeline import run_pipeline
+    from .sources.documents import synth_documents
+
+    docs = synth_documents(spark, 200)
+    return (
+        run_pipeline(docs, mode="model")
+        .groupBy("event_subtype", "realis")
+        .agg(F.count("*").alias("n_triples"))
+        .orderBy("event_subtype", "realis")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -474,6 +531,9 @@ QUERIES = {
     "q22_langid": q22_langid,
     "q23_fingerprints": q23_fingerprints,
     "q24_multimodal_meta": q24_multimodal_meta,
+    "q25_event_coref": q25_event_coref,
+    "q26_canonical_graph": q26_canonical_graph,
+    "q27_model_inference": q27_model_inference,
 }
 
 
