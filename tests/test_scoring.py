@@ -1,0 +1,106 @@
+"""Scorer differential tests: casie_spark.scoring.mention_dice_f1 vs
+the reference mention() scorer (score.py:154-250), imported directly
+from /root/reference (read-only) and driven on shared inputs.
+
+Inputs use unique, positionally aligned words so the reference's
+multiset word overlap equals our token-position overlap; ties are
+avoided so greedy-removal order matches the one-to-one rank pairing
+(divergences on order-dependent ties are documented in scoring.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import sys
+
+import pytest
+
+from casie_spark.scoring import mention_dice_f1, triple_prf
+
+
+@pytest.fixture(scope="module")
+def ref_score():
+    sys.path.insert(0, "/root/reference/code")
+    spec = importlib.util.spec_from_file_location(
+        "ref_score", "/root/reference/code/score.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ref_micro(ref_score, gold, pred, selectedlist):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ref_score.mention(gold, pred, selectedlist, O=False)
+    micro = [ln for ln in buf.getvalue().splitlines() if ln.startswith("micro avg")][0]
+    _, dice, ngold, npred, p, r, f = micro.split("\t")
+    return float(p) / 100, float(r) / 100, float(f) / 100
+
+
+# spans: (doc, sent, label, begin(token pos), n_tokens, words)
+GOLD = [
+    ("d1", 0, "Databreach", 0, 2, "alpha beta"),
+    ("d1", 0, "Phishing", 5, 1, "gamma"),
+    ("d2", 0, "Ransom", 2, 3, "delta echo foxtrot"),
+]
+PRED = [
+    ("d1", 0, "Databreach", 0, 3, "alpha beta extra"),  # partial: tp=2, ts=3
+    ("d1", 0, "Phishing", 5, 1, "gamma"),               # exact
+    ("d2", 0, "Ransom", 9, 1, "zulu"),                  # no overlap
+]
+LABELS = ["B-Databreach", "B-Phishing", "B-Ransom"]
+
+
+def _ref_dicts(rows):
+    out = {}
+    for doc, sent, label, _, _, words in rows:
+        out.setdefault(doc, {}).setdefault(sent, []).append(
+            {"trigger": words, "eventtype": label, "intersect": 0, "predlen": 0})
+    # reference indexes gold docs/sents on both sides
+    return out
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(
+        [(doc, sent, label, begin, begin + n, n)
+         for doc, sent, label, begin, n, _ in rows],
+        "doc_id string, sent_id int, label string, begin long, end long, n_tokens long",
+    )
+
+
+def test_mention_dice_matches_reference(spark, ref_score):
+    gold = _ref_dicts(GOLD)
+    pred = _ref_dicts(PRED)
+    # reference iterates gold docs/sents; make pred cover them
+    for d in gold:
+        for s in gold[d]:
+            pred.setdefault(d, {}).setdefault(s, [])
+    p_ref, r_ref, f_ref = _ref_micro(ref_score, gold, pred, LABELS)
+
+    got = mention_dice_f1(_spark_df(spark, PRED), _spark_df(spark, GOLD))
+    assert got["precision"] == pytest.approx(p_ref, abs=1e-3)
+    assert got["recall"] == pytest.approx(r_ref, abs=1e-3)
+    assert got["f1"] == pytest.approx(f_ref, abs=1e-3)
+
+
+def test_mention_dice_hand_computed(spark):
+    """Hand check: dice = 2*2/(2+3) = 0.8 (partial) + 1.0 (exact) + 0
+    (miss) = 1.8; P = 1.8/3, R = 1.8/3."""
+    got = mention_dice_f1(_spark_df(spark, PRED), _spark_df(spark, GOLD))
+    assert got["dice_sum"] == pytest.approx(1.8)
+    assert got["precision"] == pytest.approx(0.6)
+    assert got["recall"] == pytest.approx(0.6)
+
+
+def test_triple_prf_basic(spark):
+    pred = spark.createDataFrame(
+        [("d1", 0, "Victim", 10), ("d1", 0, "CVE", 20), ("d1", 5, "Time", 30)],
+        "doc_id string, event_begin long, pred string, arg_begin long")
+    gold = spark.createDataFrame(
+        [("d1", 0, "Victim", 10), ("d1", 0, "CVE", 21)],
+        "doc_id string, nugget_begin long, pred string, begin long")
+    m = triple_prf(pred, gold)
+    assert m["tp"] == 1
+    assert m["precision"] == pytest.approx(1 / 3)
+    assert m["recall"] == pytest.approx(1 / 2)

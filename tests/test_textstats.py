@@ -1,0 +1,66 @@
+"""Unit tests for functions.textstats: token counting, quality
+scoring, language-ID, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from casie_spark.functions.textstats import (
+    bpe_ish_token_count,
+    hash16,
+    predict_lang,
+    quality_columns,
+    split_words,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("the quick-fix costs $4.50 today",)], "text string")
+    row = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 5
+    # the|quick|-|fix|costs|$|4|.|50|today
+    assert row["bpe"] == 10
+
+
+def test_quality_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "the breach of the server and the leak of the data"),
+         (2, "x y z"),
+         (3, "!!! ??? ### $$$ %%% ^^^")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in quality_columns(df).collect()}
+    assert rows[1]["stopword_ratio"] > 0.3
+    assert rows[1]["quality_score"] > rows[3]["quality_score"]
+    assert rows[2]["quality_score"] == 0.0          # < 5 tokens gate
+    assert rows[3]["alpha_ratio"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_predict_lang(spark):
+    df = spark.createDataFrame(
+        [("en", "the cat is on the roof and it is fine"),
+         ("de", "der hund und die katze das ist gut"),
+         ("fr", "le chat et les chiens dans une maison pour"),
+         ("es", "el perro y los gatos que una casa por con"),
+         ("und", "zzz qqq www")],
+        "expected string, text string")
+    rows = df.select(
+        "expected", predict_lang(split_words(F.col("text"))).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], r
+
+
+def test_hash16_range(spark):
+    rows = spark.createDataFrame(
+        [(w,) for w in ["a", "b", "hello", "CVE-2019-0708"]], "w string"
+    ).select(hash16(F.col("w")).alias("h")).collect()
+    assert all(0 <= r["h"] < (1 << 16) for r in rows)
+    # stable across calls (md5-derived)
+    assert rows[2]["h"] == 23873  # md5("hello")[:4] == 5d41
