@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) over the pure kernels that the
+distributed operators delegate to: tokenizer offsets, time
+normalization, number words, dependency-tree walks.
+
+These cover the input space the golden tests cannot enumerate; the
+Spark stages are thin wrappers over these functions (plus window/join
+plumbing tested elsewhere), so invariants proven here transfer."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from casie_spark.functions.timeparse import (
+    adjust,
+    day_difference,
+    durationtotime,
+    resolve_time,
+    txt2int,
+)
+from casie_spark.operators.tokenizer import tokenize_text
+from casie_spark.operators.trees import (
+    build_deptree,
+    depth_to_root,
+    span_head,
+    synth_deps,
+    tree_path,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=400,
+)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_offsets_are_exact_slices(text):
+    toks = tokenize_text(text)
+    prev_begin = -1
+    for sent_id, token_id, tok, begin, end in toks:
+        assert text[begin:end] == tok          # offset fidelity invariant
+        assert begin < end
+        assert begin > prev_begin              # strictly increasing globally
+        prev_begin = begin
+    # determinism
+    assert toks == tokenize_text(text)
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_tokenizer_ids_dense(text):
+    toks = tokenize_text(text)
+    by_sent = {}
+    for sent_id, token_id, *_ in toks:
+        by_sent.setdefault(sent_id, []).append(token_id)
+    for sent_id, ids in by_sent.items():
+        assert ids == list(range(len(ids)))    # dense, ordered token ids
+    assert sorted(by_sent) == list(range(len(by_sent)))
+
+
+WORDS = st.lists(
+    st.one_of(
+        st.sampled_from(["one", "two", "hundred", "thousand", "million",
+                         "and", "years", "ago", "last", "week", "January",
+                         "2018", "21st", "Tuesday", "noise", "today"]),
+        st.text(st.characters(min_codepoint=48, max_codepoint=122), max_size=8),
+    ),
+    max_size=8,
+)
+
+
+@given(WORDS)
+@settings(max_examples=300, deadline=None)
+def test_time_functions_total(tokens):
+    """Time normalization is a total function: any token list yields a
+    3-field date with sane ranges, and adjust is idempotent on its own
+    output when fields are complete."""
+    pub = (2018, 11, 9)
+    d = resolve_time(tokens, pub)
+    assert len(d) == 3
+    y, m, day = d
+    assert y == 0 or 1900 < y < 2100
+    assert -30 <= m <= 12
+    assert -200 <= day <= 40
+    dur, is_text = durationtotime(tokens, pub)
+    assert isinstance(is_text, bool)
+    if 0 not in d:
+        assert adjust(list(d), pub)[0] == d[0]
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_txt2int_total_nonnegative(s):
+    assert txt2int(s) >= 0
+
+
+@given(st.lists(st.sampled_from(
+    ["one", "two", "three", "twenty", "hundred", "thousand", "and"]),
+    min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_txt2int_reference_recurrence(words):
+    """Oracle: independent evaluation of the reference recurrence
+    (current*scale+inc, flush on scale>100)."""
+    vocab = {"one": (1, 1), "two": (1, 2), "three": (1, 3),
+             "twenty": (1, 20), "hundred": (100, 0),
+             "thousand": (1000, 0), "and": (1, 0)}
+    cur = res = 0
+    for w in words:
+        sc, inc = vocab[w]
+        cur = cur * sc + inc
+        if sc > 100:
+            res, cur = res + cur, 0
+    assert txt2int(" ".join(words)) == res + cur
+
+
+@given(st.lists(st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                        min_size=1, max_size=8), min_size=1, max_size=25))
+@settings(max_examples=150, deadline=None)
+def test_synth_deps_tree_invariants(tokens):
+    """synth_deps always yields a rooted tree: every token appears as a
+    dependent exactly once, every node reaches the root, paths exist
+    between any two nodes, and the span head lies in the span."""
+    edges = synth_deps(tokens)
+    deps = sorted(d for _, d, _ in edges)
+    assert deps == list(range(1, len(tokens) + 1))
+    tree = build_deptree(edges)
+    n = len(tokens)
+    for i in range(1, n + 1):
+        assert 0 <= depth_to_root(tree, i) <= 25
+    if n >= 2:
+        p = tree_path(tree, 1, n)
+        assert p and p[0] == 1 and p[-1] == n
+        assert len(set(p)) == len(p)           # simple path
+        span = list(range(1, min(n, 4) + 1))
+        assert span_head(tree, span) in span
+
+
+@given(st.integers(1900, 2100), st.integers(1, 12), st.integers(1, 28),
+       st.integers(1900, 2100), st.integers(1, 12), st.integers(1, 28))
+@settings(max_examples=200, deadline=None)
+def test_day_difference_metric_properties(y1, m1, d1, y2, m2, d2):
+    a, b = [y1, m1, d1], [y2, m2, d2]
+    assert day_difference(a, a) == 0
+    assert day_difference(a, b) == -day_difference(b, a)
