@@ -1,0 +1,71 @@
+"""Tests for the brat .ann exporter (S7) and wordpiece alignment (J9)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from casie_spark.operators.wordpiece import align_wordpieces, align_wordpieces_df
+from casie_spark.sources.ann_export import triples_to_ann, write_ann_files
+
+
+def test_align_simple_merge():
+    tokens = ["Hackers", "breached", "Adobe"]
+    pieces = ["[CLS]", "hackers", "brea", "##ched", "adobe", "[SEP]"]
+    vecs = np.array([[0.0], [1.0], [2.0], [4.0], [8.0], [0.0]])
+    out = align_wordpieces(tokens, pieces, vecs)
+    assert [s for s, _ in out] == ["hackers", "breached", "adobe"]
+    assert out[0][1][0] == 1.0
+    assert out[1][1][0] == 3.0  # reference pairwise average (2+4)/2
+    assert out[2][1][0] == 8.0
+
+
+def test_align_unk_and_mismatch():
+    tokens = ["xyzzy", "ok"]
+    pieces = ["[UNK]", "ok"]
+    vecs = np.array([[5.0], [6.0]])
+    out = align_wordpieces(tokens, pieces, vecs)
+    assert out[0][0] == "[UNK]" and out[0][1][0] == 5.0
+    assert out[1][0] == "ok"
+
+    # diverging accumulation resets to [UNK] and advances
+    out2 = align_wordpieces(["abc", "def"], ["ab", "##zz", "def"],
+                            np.array([[1.0], [2.0], [3.0]]))
+    assert out2[0][0] == "[UNK]"
+    assert out2[1][0] == "def"
+
+
+def test_align_wordpieces_df(spark):
+    df = spark.createDataFrame(
+        [(1, 0, ["Hacking", "hurts"],
+          ["hack", "##ing", "hurts"],
+          [[1.0, 0.0], [3.0, 0.0], [5.0, 1.0]])],
+        "doc_id long, sent_id int, tokens array<string>, "
+        "pieces array<string>, vectors array<array<double>>")
+    rows = align_wordpieces_df(df).orderBy("token_id").collect()
+    assert [r["surface"] for r in rows] == ["hacking", "hurts"]
+    assert rows[0]["vector"] == [2.0, 0.0]  # (1+3)/2
+    assert rows[0]["token_id"] == 0 and rows[1]["token_id"] == 1
+
+
+def test_ann_export_roundtrip(spark, tmp_path):
+    from casie_spark.pipeline import run_pipeline
+    from casie_spark.sources.documents import synth_documents
+
+    triples = run_pipeline(synth_documents(spark, 30, partitions=2))
+    ann = triples_to_ann(triples)
+    rows = ann.collect()
+    assert rows
+    sample = rows[0]["ann"].splitlines()
+    kinds = {ln[0] for ln in sample}
+    assert "T" in kinds and "E" in kinds and "A" in kinds
+    # T lines are standoff: "T<n>\t<label> <begin> <end>\t<text>"
+    tline = next(ln for ln in sample if ln.startswith("T"))
+    head, span, text = tline.split("\t")
+    label, begin, end = span.rsplit(" ", 2)
+    assert int(end) - int(begin) == len(text)
+
+    n = write_ann_files(ann.limit(5), str(tmp_path / "ann"))
+    assert n == 5
+    files = list((tmp_path / "ann").glob("*.ann"))
+    assert len(files) == 5 and files[0].read_text().strip()
