@@ -153,6 +153,68 @@ def lsh_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
     )
 
 
+def ivf_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    vector to one of ``n_cells`` cells; each query probes its
+    ``n_probe`` nearest centroids and exact-reranks only those cells —
+    candidate count ≈ |corpus|·n_probe/n_cells per query.
+
+    Complements :func:`lsh_topk`: IVF adapts its partition to the data
+    distribution (clustered embeddings get balanced cells where fixed
+    hyperplanes would collapse), at the cost of a training pass.  The
+    quantizer is `pyspark.ml` KMeans with a fixed seed — deterministic,
+    and the centroid table is tiny (n_cells × dim) so probing is a
+    broadcast cross join against n_cells rows, never |corpus|."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    km = KMeans(k=n_cells, seed=42, featuresCol="_fv", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+    # query -> n_probe nearest centroids (euclidean, matching KMeans)
+    q = assigned.filter(F.col(id_col) < query_limit).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dist2 = F.aggregate(
+        F.zip_with("qv", "centroid",
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", dist2)
+        .withColumn("rk", F.row_number().over(probe_w))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"), "cell")
+    j = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def lsh_neardup(emb: DataFrame, threshold: float = 0.4,
                 n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM,
                 n_tables: int = DEFAULT_TABLES,

@@ -506,6 +506,16 @@ def q27_model_inference(spark, sf_dir):
     )
 
 
+def q28_ann_ivf(spark, sf_dir):
+    """IVF ANN: fixed-seed k-means coarse quantizer, 4-of-16 cell
+    probe, exact cosine rerank (operators.similarity.ivf_topk) — the
+    data-adaptive scale path beside q21's hyperplane LSH.  No SQL
+    oracle (k-means training); rows-only determinism check."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_load(spark, sf_dir, "embeddings"), k=3, query_limit=100)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -534,6 +544,7 @@ QUERIES = {
     "q25_event_coref": q25_event_coref,
     "q26_canonical_graph": q26_canonical_graph,
     "q27_model_inference": q27_model_inference,
+    "q28_ann_ivf": q28_ann_ivf,
 }
 
 

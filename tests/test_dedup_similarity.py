@@ -102,6 +102,24 @@ def test_lsh_recall_on_testdata(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_recall_on_testdata(spark, sf_dir):
+    """IVF with 4-of-16 cell probing must beat the 4/16 random-probe
+    baseline by a wide margin on the clustered embeddings table."""
+    from casie_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, k=3, query_limit=20).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, k=3, query_limit=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # determinism: fixed-seed quantizer
+    approx2 = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(emb, k=3, query_limit=20).collect()}
+    assert approx == approx2
+
+
 def test_hyperplane_determinism():
     assert hyperplane(0) == hyperplane(0)
     assert hyperplane(0) != hyperplane(1)
