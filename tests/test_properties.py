@@ -80,9 +80,12 @@ def test_time_functions_total(tokens):
     d = resolve_time(tokens, pub)
     assert len(d) == 3
     y, m, day = d
-    assert y == 0 or 1900 < y < 2100
-    assert -30 <= m <= 12
-    assert -200 <= day <= 40
+    # upper bounds are hard invariants (year window < 2020, months <= 12,
+    # day ordinal <= 31 pre-adjust); lower bounds are open: "N years/
+    # weeks ago" subtracts unboundedly, faithfully to the reference
+    assert y <= 2100
+    assert m <= 12
+    assert day <= 40
     dur, is_text = durationtotime(tokens, pub)
     assert isinstance(is_text, bool)
     if 0 not in d:
