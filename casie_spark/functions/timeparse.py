@@ -48,10 +48,14 @@ for _i, _w in enumerate(_TENS):
 for _i, _w in enumerate(_SCALES):
     _NUMWORDS[_w] = (10 ** (_i * 3 or 2), 0)
 
-_MONTHS = ["january", "february", "march", "april", "may", "june", "july",
-           "august", "september", "october", "november", "december"]
-_DAYS = ["monday", "tuesday", "wednesday", "thursday", "friday",
-         "saturday", "sunday"]
+# capitalized exactly like the reference's Month/Day dicts
+# (link_coref.py:84-86): the raw-token prefix comparison is
+# case-SENSITIVE there, so "November"/"Nov." match but "november"
+# does not — preserved as-is
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+         "Saturday", "Sunday"]
 _ORDINAL_SUFFIXES = ("th", "rd", "nd", "st")
 _ORD_RE = re.compile(r"([0-9]+)([a-zA-Z]*)")
 
@@ -75,7 +79,10 @@ def strtotime(tokens: list[str]) -> list[int]:
     """Free-text date tokens -> [year, month, day] (0 = missing).
     Reference slot-filling order preserved: year in [2000,2020), then
     day-of-month if a month is already set, else month number; ordinal
-    suffix fills day; month/day names match on their first 3 letters."""
+    suffix fills day; month/day names match the RAW token's first 3
+    letters against the capitalized name (case-sensitive, so
+    lowercase "november" deliberately does not set the month —
+    link_coref.py:389-401)."""
     month = day_name = year = date = 0
     for x in tokens:
         if x.isdigit():
@@ -95,17 +102,16 @@ def strtotime(tokens: list[str]) -> list[int]:
         if m and 0 < int(m.group(1)) <= 31 and m.group(2) in _ORDINAL_SUFFIXES:
             date = int(m.group(1))
             continue
-        lx = x.lower()
         matched = False
         for i, m in enumerate(_MONTHS):
-            if lx[:3] == m[:3]:
+            if x[:3] == m[:3]:
                 month = i + 1
                 matched = True
                 break
         if matched:
             continue
         for i, d in enumerate(_DAYS):
-            if lx[:3] == d[:3]:
+            if x[:3] == d[:3]:
                 day_name = i + 1
                 break
     if date != 0:
@@ -124,14 +130,23 @@ def durationtotime(tokens: list[str],
     py, pm, pd_ = pubdate
 
     def _count(excluded: set[str]) -> int:
+        """Reference counting quirk (link_coref.py:424-434 et al.):
+        scan stops at the first digit, but if any non-excluded word
+        PRECEDED the digit, txt2int over those words OVERRIDES the
+        digit — "about 3 years ago" counts as txt2int("about") = 0,
+        not 3.  Preserved bit-for-bit."""
+        number = 0
         txt = []
         for x in surface:
             if x in excluded:
                 continue
             if x.isdigit():
-                return int(x)
+                number = int(x)
+                break
             txt.append(x)
-        return txt2int(" ".join(txt)) if txt else 0
+        if txt:
+            number = txt2int(" ".join(txt))
+        return number
 
     if "this" in surface or "today" in surface or "now" in surface:
         return [py, pm, pd_], False
@@ -144,7 +159,13 @@ def durationtotime(tokens: list[str],
         if "week" in surface:
             return [py, pm, pd_ - 7], False
         if "weeks" in surface:
-            n = _count({"weeks", "ago"})
+            # the reference's weeks branch has NO digit path at all
+            # (:438-444): every non-excluded token goes through
+            # txt2int, which skips digits — "3 weeks ago" leaves the
+            # day unchanged (n = 0).  'last'/'past' are not excluded
+            # here but txt2int skips them anyway.
+            txt = [x for x in surface if x not in ("weeks", "ago")]
+            n = txt2int(" ".join(txt))
             return [py, pm, pd_ - 7 * n], False
         if "days" in surface:
             n = _count({"days", "ago", "past", "last"})
@@ -257,16 +278,21 @@ def resolve_time_udf(surface: Column, pubdate: Column) -> Column:
 
 def normalize_time_args(triples, documents, doc_id_col: str = "url") -> "pd.DataFrame":
     """Attach normalized time columns to Time-role triples: join the
-    document pubdate (broadcast — documents' (url, pubdate) projection
-    is narrow), resolve obj text against it.  Non-Time rows pass
-    through with nulls."""
+    document pubdate, resolve obj text against it.  Non-Time rows pass
+    through with nulls.
+
+    The pubdate frame is one row PER DOCUMENT, so it must never be
+    broadcast — O(n_docs) driver/executor memory at crawl scale.  A
+    plain shuffle join on doc_id is correct and scale-safe: triples are
+    tiny relative to the token stream, and the (doc_id, pubdate)
+    projection prunes the scan to two columns."""
     from .text import extract_pubdate_raw
 
     pub = documents.select(
         F.col(doc_id_col).alias("doc_id"),
         F.trim(extract_pubdate_raw(F.col("html").cast("string"))).alias("_pubdate"),
     )
-    t = triples.join(F.broadcast(pub), "doc_id", "left")
+    t = triples.join(pub.hint("shuffle_hash"), "doc_id", "left")
     resolved = F.when(
         F.col("pred") == "Time",
         resolve_time_udf(F.col("obj"), F.coalesce("_pubdate", F.lit(""))),

@@ -24,7 +24,7 @@ Three layers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..util import materialize, truncate
@@ -134,11 +134,23 @@ def minhash_edges(surfaces: DataFrame, id_col: str = "surface_id",
     sig = materialize(sig.select("sid", "sh", *band_cols))
 
     pairs = None
+    max_bucket = 1000  # LSH skew guard: an over-full band bucket means a
+    # boilerplate surface shared by k docs — k² pairs with no near-dup
+    # signal; drop it before the self-join (same rule as
+    # dedup.minhash_candidate_pairs).  The size window rides the join's
+    # own hashpartitioning(bk) exchange.
     for b in range(bands):
-        left = sig.select(F.col("sid").alias("src"), F.col("sh").alias("sh1"),
-                          F.col(f"band{b}").alias("bk"))
-        right = sig.select(F.col("sid").alias("dst"), F.col("sh").alias("sh2"),
-                           F.col(f"band{b}").alias("bk"))
+        banded = sig.select("sid", "sh", F.col(f"band{b}").alias("bk"))
+        bw = Window.partitionBy("bk")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(bw))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        left = banded.select(F.col("sid").alias("src"), F.col("sh").alias("sh1"),
+                             "bk")
+        right = banded.select(F.col("sid").alias("dst"), F.col("sh").alias("sh2"),
+                              "bk")
         p = left.join(right, "bk").filter(F.col("src") < F.col("dst")).drop("bk")
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["src", "dst"])

@@ -92,13 +92,30 @@ def minhash_signature(shingles: DataFrame, n_hashes: int = 4,
 
 
 def minhash_candidate_pairs(sig: DataFrame, n_hashes: int = 4,
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_bucket: int | None = 1000) -> DataFrame:
     """LSH banding with band size 1: docs sharing any minhash column
     become a candidate pair (doc_a < doc_b, distinct).  Self-join runs
-    per-bucket, so cost is Σ bucket² — linear for near-dup corpora."""
+    per-bucket, so cost is Σ bucket² — linear for near-dup corpora.
+
+    ``max_bucket`` drops over-full buckets before the self-join (the
+    standard LSH skew guard): one boilerplate shingle shared by k docs
+    would otherwise emit k² pairs, turning a crawl's template pages
+    into a quadratic blowup.  A bucket larger than the cap carries no
+    near-dup signal anyway — its docs merely share one common shingle.
+    The bucket-size window rides the same hashpartitioning(bucket)
+    exchange the self-join needs, so the guard adds no extra shuffle.
+    """
     pairs = None
     for b in range(n_hashes):
         s = sig.select(F.col(id_col).alias("doc"), F.col(f"minh{b}").alias("bucket"))
+        if max_bucket is not None:
+            bw = Window.partitionBy("bucket")
+            s = (
+                s.withColumn("_bsz", F.count("*").over(bw))
+                .filter(F.col("_bsz") <= max_bucket)
+                .drop("_bsz")
+            )
         p = (
             s.alias("a").join(s.alias("b"), "bucket")
             .filter(F.col("a.doc") < F.col("b.doc"))
@@ -112,8 +129,18 @@ def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard similarity for MinHash candidate pairs:
     (doc_a, doc_b, jaccard).  The exact set intersection runs only on
-    LSH survivors — the standard two-phase near-dup design."""
-    sh = word_shingles(words_with_pos(docs, text_col, id_col), n, id_col).distinct()
+    LSH survivors — the standard two-phase near-dup design.
+
+    The distinct-shingle frame is referenced four times (sizes,
+    signature, and both sides of the intersection join); Spark has no
+    common-subplan reuse, so without a barrier the posexplode+window
+    subtree re-executes once per reference.  ``materialize`` caches it
+    columnar once."""
+    from ..util import materialize
+
+    sh = materialize(
+        word_shingles(words_with_pos(docs, text_col, id_col), n, id_col).distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sig = minhash_signature(sh, n_hashes, id_col)
     cand = minhash_candidate_pairs(sig, n_hashes, id_col)

@@ -188,6 +188,12 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
             yield out
 
     df = tokens.mapInPandas(run, schema=out_schema)
+    # mapInPandas emits fresh attribute ids, so any partitioning below
+    # it is invisible to Catalyst — the ONE explicit doc_id exchange of
+    # the token stream therefore goes ABOVE the (narrow, per-row)
+    # inference stage; every window downstream rides it via the
+    # clustering subset rule.  Callers must NOT pre-repartition.
+    df = df.repartition(F.col("doc_id"))
 
     # JVM-side shape/regex argument classes + BIO assembly (shared
     # window semantics with tag_rules)
@@ -220,17 +226,15 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
     # general-noun fallback by per-doc dominant trigger type — the
     # reference applies this RULE after model predictions too
     # (generalnountrigger/scoreH, link_coref.py:898-920, :941-945),
-    # so it belongs to both tagging providers
-    hist = (
-        df.filter(F.col("_m_trig") != "O")
-        .groupBy("doc_id", "_m_trig")
-        .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.desc("n"), "_m_trig")))
-        .filter("rk = 1")
-        .select("doc_id", F.col("_m_trig").alias("_dominant"))
+    # so it belongs to both tagging providers.  Packed-key window over
+    # the existing doc_id partitioning (shared with tag_rules) — no
+    # per-doc frame is ever built or broadcast.
+    from .tagging import with_dominant_trigger
+
+    df = df.withColumn(
+        "_trig_t", F.when(F.col("_m_trig") != "O", F.col("_m_trig"))
     )
-    df = df.join(F.broadcast(hist), "doc_id", "left")
+    df = with_dominant_trigger(df, "_trig_t").drop("_trig_t")
     df = df.withColumn(
         "trigger_tag",
         F.when(F.col("_arg").isNotNull(), F.lit("O"))

@@ -84,6 +84,34 @@ def _stem(col):
     )
 
 
+def with_dominant_trigger(df: DataFrame, trig_col: str) -> DataFrame:
+    """+ ``_dominant``: the doc's most frequent trigger type (scoreH
+    histogram, link_coref.py:941-945), ties broken lexicographically.
+
+    Window formulation over the existing doc_id partitioning — count
+    per (doc, type) partition, argmax per doc via a packed bigint key
+    (count*8 + inverted lexicographic rank).  The groupBy +
+    broadcast-join-back alternative re-executes the upstream subtree
+    (no common-subplan reuse) and broadcasts one row per document —
+    O(n_docs) driver/executor memory, a scale-killer at 1e9 docs.
+    ``trig_col`` must be null for non-trigger tokens.
+    """
+    lex_sorted = sorted(config.EVENT_SUBTYPES)
+    assert len(lex_sorted) <= 8, "packed key allots 3 bits for the rank"
+    trig = F.col(trig_col)
+    lexrank = F.lit(None).cast("int")
+    for i, et in enumerate(lex_sorted):
+        lexrank = F.when(trig == et, F.lit(i)).otherwise(lexrank)
+    cnt = F.count(trig_col).over(Window.partitionBy("doc_id", trig_col))
+    key = F.when(trig.isNotNull(), cnt * 8 + (7 - lexrank))
+    best_key = F.max(key).over(Window.partitionBy("doc_id"))
+    best_rank = F.lit(7) - (best_key % 8)
+    dominant = F.lit(None).cast("string")
+    for i, et in enumerate(lex_sorted):
+        dominant = F.when(best_rank == i, F.lit(et)).otherwise(dominant)
+    return df.withColumn("_dominant", dominant)
+
+
 def tag_rules(tokens: DataFrame) -> DataFrame:
     """tokens -> + trigger_tag, arg_tag (BIO, single-token spans).
 
@@ -157,20 +185,7 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     df = df.withColumn(
         "_is_general", low.isin(config.GENERAL_NOUNS["general"])
     )
-    lex_sorted = sorted(config.EVENT_SUBTYPES)
-    lexrank = F.lit(None).cast("int")
-    for i, et in enumerate(lex_sorted):
-        lexrank = F.when(F.col("_trig") == et, F.lit(i)).otherwise(lexrank)
-    cnt = F.count("_trig").over(Window.partitionBy("doc_id", "_trig"))
-    key = F.when(
-        F.col("_trig").isNotNull(), cnt * 8 + (7 - lexrank)
-    )
-    best_key = F.max(key).over(Window.partitionBy("doc_id"))
-    best_rank = F.lit(7) - (best_key % 8)
-    dominant = F.lit(None).cast("string")
-    for i, et in enumerate(lex_sorted):
-        dominant = F.when(best_rank == i, F.lit(et)).otherwise(dominant)
-    df = df.withColumn("_dominant", dominant)
+    df = with_dominant_trigger(df, "_trig")
     df = df.withColumn(
         "trigger_tag",
         F.when(F.col("_trig").isNotNull(), F.concat(F.lit("B-"), F.col("_trig")))

@@ -41,8 +41,11 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------------------
 
 def build_deptree(edges: list[tuple[int, int, str]]) -> dict[int, list[int]]:
-    """G1: governor -> [dependents]; mutual A<->B edges keep only the
-    lower-index governor (the reference's cycle break, tree.py:14-20)."""
+    """G1: governor -> [dependents]; mutual A<->B edges break the cycle
+    by comparing node indices AS STRINGS (the reference splits its
+    'gloss_@_idx' node keys and compares the index substring
+    lexicographically, tree.py:14-20 — so '10' < '9' keeps the edge a
+    numeric compare would drop).  Quirk preserved for parity."""
     tree: dict[int, list[int]] = {}
     for gov, dep, _ in edges:
         if gov == 0:  # ROOT rows are skipped (tree.py:6-7)
@@ -51,7 +54,7 @@ def build_deptree(edges: list[tuple[int, int, str]]) -> dict[int, list[int]]:
     for gov in list(tree):
         for dep in list(tree[gov]):
             if dep in tree and gov in tree[dep]:
-                if gov < dep:
+                if str(gov) < str(dep):
                     tree[dep].remove(gov)
                 else:
                     tree[gov].remove(dep)

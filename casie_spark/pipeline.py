@@ -70,7 +70,11 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
             )
     else:
         toks = tokenize(docs, id_col=id_col)
-    toks = toks.repartition(F.col("doc_id"))
+    if mode != "model":
+        # mode="model" repartitions inside tag_model instead, above the
+        # narrow mapInPandas stage (whose fresh attribute ids would
+        # hide a pre-existing partitioning from Catalyst)
+        toks = toks.repartition(F.col("doc_id"))
     # toks has a SINGLE consumer (the tagging stage — histogram and
     # rule sweeps are window ops now, not join-backs), so it needs no
     # materialization barrier: the tokenizer fuses into the tagging

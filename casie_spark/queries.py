@@ -600,10 +600,14 @@ def _ngram_jaccard_oracle() -> str:
                    min(md5('3|' || shingle)) AS minh3
             FROM sh GROUP BY doc_id
         ), buckets AS (
-            SELECT doc_id, 0 AS band, minh0 AS bucket FROM sig
-            UNION ALL SELECT doc_id, 1, minh1 FROM sig
-            UNION ALL SELECT doc_id, 2, minh2 FROM sig
-            UNION ALL SELECT doc_id, 3, minh3 FROM sig
+            -- mirrors minhash_candidate_pairs' max_bucket=1000 skew
+            -- guard: over-full buckets are dropped before pairing
+            SELECT doc_id, band, bucket FROM (
+                SELECT doc_id, 0 AS band, minh0 AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, minh1 FROM sig
+                UNION ALL SELECT doc_id, 2, minh2 FROM sig
+                UNION ALL SELECT doc_id, 3, minh3 FROM sig
+            ) u QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM buckets a JOIN buckets b
@@ -929,7 +933,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
                 WHERE is_kw = 1 GROUP BY doc_id, span_id
             )
             SELECT doc_id, count(*) AS n_spans, max(span_len) AS max_span_len,
-                   sum(span_len) AS n_kw_tokens
+                   CAST(sum(span_len) AS BIGINT) AS n_kw_tokens
             FROM spans GROUP BY doc_id
         """,
         "q18_simhash": _simhash_oracle(),
@@ -950,7 +954,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q23_fingerprints": _fingerprints_oracle(),
         "q24_multimodal_meta": """
             SELECT source, count(*) AS n_blobs,
-                   sum(octet_length(encode(text))) AS total_bytes,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    count(DISTINCT md5(text)) AS n_distinct_sha
             FROM documents GROUP BY source
         """,

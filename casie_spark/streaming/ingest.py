@@ -51,13 +51,19 @@ def stream_triples(docs: DataFrame, out_dir: str, checkpoint_dir: str,
     makes replays idempotent (a batch id is committed only after its
     write lands)."""
     from ..pipeline import run_pipeline
+    from ..util import track_persists
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = run_pipeline(batch_df, mode=mode)
-        (triples.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_dir))
+        # track_persists releases the pipeline's stage-barrier caches
+        # once the batch's write lands — under trigger(processingTime=…)
+        # the SQL cache would otherwise grow by a few frames every
+        # micro-batch until storage memory is exhausted
+        with track_persists():
+            triples = run_pipeline(batch_df, mode=mode)
+            (triples.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
 
     return (
         docs.writeStream

@@ -2,7 +2,14 @@
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
+
+# active persist trackers (see track_persists); a stack so nested
+# scopes each release only their own frames
+_PERSIST_TRACKERS: list[list[DataFrame]] = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -29,7 +36,29 @@ def materialize(df: DataFrame) -> DataFrame:
     """
     df = df.persist()
     df.count()
+    if _PERSIST_TRACKERS:
+        _PERSIST_TRACKERS[-1].append(df)
     return df
+
+
+@contextlib.contextmanager
+def track_persists() -> Iterator[list[DataFrame]]:
+    """Unpersist every frame :func:`materialize` caches inside the
+    block when it exits.
+
+    Long-running drivers that invoke the pipeline repeatedly — above
+    all ``foreachBatch`` streaming sinks firing every trigger — would
+    otherwise accumulate a new set of persisted frames per invocation
+    until executor storage memory is exhausted; the SQL cache is
+    process-lifetime and nothing else releases it."""
+    bucket: list[DataFrame] = []
+    _PERSIST_TRACKERS.append(bucket)
+    try:
+        yield bucket
+    finally:
+        _PERSIST_TRACKERS.pop()
+        for df in bucket:
+            df.unpersist()
 
 
 def truncate(df: DataFrame) -> DataFrame:

@@ -67,3 +67,44 @@ def test_pipeline_single_token_shuffle(spark):
         if "Exchange hashpartitioning(doc_id" in ln
     ]
     assert len(doc_exchanges) == 1, doc_exchanges
+
+
+def test_model_pipeline_single_token_shuffle(spark):
+    """Same invariant for mode='model': the mapInPandas inference stage
+    and the dominant-trigger window must ride the one explicit doc_id
+    exchange — in particular no groupBy+join-back histogram (which
+    would add an exchange AND broadcast a per-doc frame)."""
+    from casie_spark.operators.model_tagger import tag_model
+    from casie_spark.operators.rules import apply_rules
+    from casie_spark.operators.tokenizer import tokenize
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"Hackers stole data on CVE-2019-000{i} last week.")
+         for i in range(10)],
+        "url string, text string")
+    toks = tokenize(docs, id_col="url")
+    tagged = apply_rules(tag_model(toks))  # tag_model owns the exchange
+    plan = _plan(tagged)
+    doc_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
+    # no per-doc frame is broadcast anywhere in the tagging DAG
+    assert "BroadcastExchange" not in plan, "per-doc broadcast crept back in"
+
+
+def test_no_per_doc_broadcast_in_time_normalization(spark):
+    """normalize_time_args joins the one-row-per-document pubdate frame
+    with a shuffle join, never a forced broadcast (O(n_docs) memory)."""
+    from casie_spark.functions.timeparse import normalize_time_args
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "<text>x</text>") for i in range(5)],
+        "url string, html string")
+    triples = spark.createDataFrame(
+        [(f"u{i}", "e1", "Time", "last week") for i in range(5)],
+        "doc_id string, subj string, pred string, obj string")
+    out = normalize_time_args(triples, docs)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, "pubdate frame must shuffle-join"

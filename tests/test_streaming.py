@@ -36,8 +36,13 @@ def test_stream_triples_matches_batch_and_resumes(spark, tmp_path):
     second = all_docs.filter(F.col("warc_ts") >= cut)
     first.write.parquet(src)
 
+    spark.catalog.clearCache()
     q = stream_triples(stream_documents(spark, src), out, ckpt)
     run_available_now(q)
+    # each micro-batch unpersists its pipeline caches (track_persists):
+    # a processingTime deployment must not leak storage memory per batch
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "foreachBatch leaked persisted frames"
 
     streamed = spark.read.parquet(out)
     assert _triple_set(streamed) == _triple_set(run_pipeline(first))

@@ -44,6 +44,10 @@ def test_strtotime():
     assert strtotime(["last", "Friday"]) == [0, 0, 5]
     # month number then day number
     assert strtotime(["11", "21"]) == [0, 11, 21]
+    # name matching is case-SENSITIVE raw-prefix vs capitalized names
+    # (Month/Day dicts, link_coref.py:84-86): lowercase does not match
+    assert strtotime(["november", "21st,", "2018"]) == [2018, 0, 21]
+    assert strtotime(["tuesday"]) == [0, 0, 0]
 
 
 def test_durationtotime():
@@ -52,8 +56,15 @@ def test_durationtotime():
     assert durationtotime(["last", "year"], PUB) == ([2017, 11, 9], False)
     assert durationtotime(["two", "years", "ago"], PUB) == ([2016, 11, 9], False)
     assert durationtotime(["last", "week"], PUB) == ([2018, 11, 2], False)
-    assert durationtotime(["3", "weeks", "ago"], PUB) == ([2018, 11, -12], False)
+    # the reference's weeks branch has no digit path: txt2int skips
+    # "3", so the count is 0 and the day is unchanged (:438-444)
+    assert durationtotime(["3", "weeks", "ago"], PUB) == ([2018, 11, 9], False)
+    assert durationtotime(["two", "weeks", "ago"], PUB) == ([2018, 11, -5], False)
     assert durationtotime(["five", "days", "ago"], PUB) == ([2018, 11, 4], False)
+    assert durationtotime(["3", "days", "ago"], PUB) == ([2018, 11, 6], False)
+    # words preceding a digit OVERRIDE it via txt2int (:424-434):
+    # "about" -> 0, so no subtraction happens
+    assert durationtotime(["about", "3", "years", "ago"], PUB) == ([2018, 11, 9], False)
     assert durationtotime(["last", "month"], PUB) == ([2018, 10, 9], False)
     assert durationtotime(["two", "months", "ago"], PUB) == ([2018, 9, 9], False)
     # pm - n == 0: reference mutates pubdate then subtracts again
@@ -73,7 +84,8 @@ def test_adjust():
 
 
 def test_resolve_time_end_to_end():
-    assert resolve_time("3 weeks ago".split(), PUB) == [2018, 10, 19]
+    assert resolve_time("3 weeks ago".split(), PUB) == [2018, 11, 9]
+    assert resolve_time("two weeks ago".split(), PUB) == [2018, 10, 26]
     assert resolve_time("November 21st, 2018".split(), PUB) == [2018, 11, 21]
     assert resolve_time("March 3".split(), PUB) == [2018, 3, 3]
     assert resolve_time("whenever".split(), PUB) == [0, 0, 0]
@@ -90,7 +102,7 @@ def test_day_difference():
 
 def test_resolve_time_udf(spark):
     df = spark.createDataFrame(
-        [("3 weeks ago", "2018_11_09"),
+        [("two weeks ago", "2018_11_09"),
          ("November 21st, 2018", "2018_11_09"),
          ("garbage", "2018_11_09"),
          ("today", "not_a_date")],
@@ -98,8 +110,8 @@ def test_resolve_time_udf(spark):
     rows = df.select(
         resolve_time_udf(F.col("surface"), F.col("pubdate")).alias("r")
     ).select("r.*").collect()
-    assert (rows[0]["year"], rows[0]["month"], rows[0]["day"]) == (2018, 10, 19)
-    assert rows[0]["iso"] == "2018-10-19"
+    assert (rows[0]["year"], rows[0]["month"], rows[0]["day"]) == (2018, 10, 26)
+    assert rows[0]["iso"] == "2018-10-26"
     assert rows[1]["iso"] == "2018-11-21"
     assert rows[2]["iso"] is None
     assert rows[3]["year"] == 0  # unparseable pubdate -> zeros

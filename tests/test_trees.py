@@ -62,6 +62,15 @@ def test_build_deptree_matches_reference(ref):
     theirs = ref.build_deptree(_enh(cyc))
     assert _to_ref(mine) == theirs
 
+    # >=10-node cycle: the index compare is LEXICOGRAPHIC in the
+    # reference ('10' < '9'), so the surviving edge differs from a
+    # numeric compare — quirk must match
+    cyc10 = [(0, 1, "root"), (1, 9, "a"), (9, 10, "b"), (10, 9, "x"),
+             (9, 2, "c")]
+    mine = build_deptree(cyc10)
+    theirs = ref.build_deptree(_enh(cyc10))
+    assert _to_ref(mine) == theirs
+
 
 def test_paths_match_reference(ref):
     mine = build_deptree(EDGES)
