@@ -201,14 +201,103 @@ ROLE_PAIR = {
 
 REALIS_VALUES = ["Actual", "Generic", "Other"]
 
-# NER whitelist (parseJsontoFeatures.py:164-165): types kept by the
-# feature pipeline; everything else reset to 'O'.
+# NER whitelist — the exact selectedNER list the feature pipeline
+# keeps (parseJsontoFeatures.py:164-165, verbatim incl. the "File"/
+# "FILE" duplication); everything else is reset to 'O' before BIO
+# encoding (combineNe_st, :167-181 — P1/P3 in SURVEY §2.2).
 NER_WHITELIST = [
-    "ORGANIZATION", "PERSON", "LOCATION", "CITY", "COUNTRY",
-    "STATE_OR_PROVINCE", "NATIONALITY", "DATE", "TIME", "DURATION",
-    "MONEY", "NUMBER", "PERCENT", "ORDINAL", "MISC", "CAUSE_OF_DEATH",
-    "CRIMINAL_CHARGE", "IDEOLOGY", "RELIGION", "TITLE", "URL", "EMAIL",
-    "HANDLE", "SET",
+    "LOCATION", "STATE_OR_PROVINCE", "CITY", "COUNTRY", "DATE", "SET",
+    "TIME", "DURATION", "NUMBER", "URL", "MONEY", "ORGANIZATION",
+    "EMAIL", "PERSON", "CURRENCY", "SOFTWARE", "DEVICE", "SYSTEM",
+    "CVE", "File", "GPE", "Version", "Tool", "PII", "MODIFIER",
+    "CONSEQUENCES", "OPERATINGSYSTEM", "NETWORK", "ATTACK", "MEANS",
+    "HARDWARE", "OTHER", "FILE",
+]
+
+# Common-noun -> compatible-NER-type gazetteers for the look-back NER
+# propagation (J8).  Ontology data reproduced verbatim from
+# parseJsontoFeatures.py:879-884 (devicelist/gpelist/syssoftlist/
+# perlist/orglist) — these define the annotation scheme's noun classes.
+NER_DEVICE_NOUNS = [
+    "wificam", "hardware", "appliance", "kit", "gateway", "bear", "toy",
+    "doll", "thermostat", "fridge", "door", "kettle", "monitor",
+    "webcam", "desktop", "television", "car", "vehicle", "transmitter",
+    "pacemaker", "electronic", "model", "microphone", "speaker",
+    "register", "handset", "stripe", "card", "oven", "pump",
+    "harddrive", "scanner", "recorder", "smartwatch", "wearable",
+    "watch", "TV", "accelerometer", "gadget", "smartphone", "sensor",
+    "workstation", "gear", "switch", "router", "CPU", "defibrillator",
+    "pacemaker", "chipset", "equipment", "adapter", "printer",
+    "platform", "product", "family", "fuse", "console", "chip",
+    "memory", "robot", "camera", "machine", "device", "component",
+    "module", "PC", "laptop", "computer", "modem", "processor",
+]
+NER_GPE_NOUNS = ["country", "internationally"]
+NER_SYSSOFT_NOUNS = [
+    "network", "system", "server", "page", "website", "site",
+    "interface", "service", "portal", "version", "module", "component",
+    "subsystem", "library", "framework", "product", "mode",
+    "installation", "engine", "management", "code", "software",
+    "codebase", "fork", "platform", "browser", "login", "drive", "core",
+    "filesystem", "technology", "repository", "feature", "database",
+    "distro", "distribution", "client", "suite", "tool", "assessment",
+    "desktop", "console", "landscape", "functionality", "domain",
+    "rail", "function", "implementation", "panel", "security",
+    "process", "intranet", "server-side", "redirection", "channel",
+    "traffic", "host", "controller", "handler", "verification",
+    "infrastructure", "product", "app", "application", "software",
+    "installer", "game", "browser", "project", "program", "tool",
+    "client", "installation", "production", "blunder", "image",
+    "solution", "interface", "firewall", "service", "services",
+    "variant", "extension", "script", "update", "anti-virus", "module",
+    "driver",
+]
+NER_PERSON_NOUNS = [
+    "party", "group", "target", "patient", "staff", "woman", "person",
+    "customer", "worker", "employee", "volunteer", "student", "family",
+    "member", "passenger", "hacker", "parent", "teacher", "citizen",
+    "fraudster", "complainant", "attacker", "resident", "researcher",
+    "reader", "conspirator", "official", "someone", "victim",
+    "infiltrator", "individual", "user", "scammer", "consumer", "actor",
+    "thief", "expert", "boss", "artist", "criminal", "executive",
+    "friend", "man", "conman", "guest", "malefactor", "cybercriminal",
+    "developer", "guy", "authority", "anyone", "assailant",
+    "perpetrator", "cyber-attacker", "operator", "owner", "crook",
+    "extortionist", "culprit", "recipient", "colleague", "journalist",
+    "girl", "buyer", "administrator", "scamster", "subscriber",
+    "visitor", "phisher", "inspector", "taxpayer", "sender", "swindler",
+    "cyberattacker", "client", "shopper", "author", "motorist",
+    "leader", "caller", "investor", "defendant", "somebody", "taxman",
+    "creator", "engineer", "imposter", "partner", "folk", "officer",
+    "stealer", "cyber-criminal", "threat", "player", "advisory",
+    "gamer", "athlete", "other", "director", "seeker", "voter",
+    "insider", "miscreant", "spokesperson", "veteran", "end-user",
+    "duo", "politician", "celebrity", "crew", "chairman", "intruder",
+    "cryptologist", "blackmailer", "seller", "chief", "source", "maker",
+    "moniker", "employer", "preparer", "spear-phisher", "brother",
+    "sister", "activism", "producer", "speaker", "physician",
+    "trickster", "manager", "influencer", "child", "demander", "adult",
+    "kid", "co-worker", "stranger", "serviceman", "contractor",
+    "adversary", "maintainer", "distributor", "team", "diplomat",
+    "cyberoperative",
+]
+NER_ORG_NOUNS = [
+    "party", "group", "target", "town", "hospital", "village",
+    "district", "firm", "organization", "organisation", "association",
+    "supplier", "company", "third-party", "group", "vendor",
+    "department", "business", "finance", "manufacturer", "giant",
+    "party", "hotel", "bank", "sector", "institution", "victim",
+    "government", "county", "city", "national", "state", "provider",
+    "enforcement", "industry", "brand", "maker", "operation",
+    "enterprise", "community", "advisory", "chipmaker", "project",
+    "site", "charity", "municipality", "corporation", "logistic",
+    "program", "pair", "office", "authority", "port", "school",
+    "channel", "entity", "source", "chain", "host", "subcontractor",
+    "facility", "healthcare", "shipping", "other", "university",
+    "asset", "restaurant", "bar", "branding", "airline", "copycat",
+    "studio", "establishment", "telecom", "library", "management",
+    "ministry", "utility", "college", "partner", "store", "clinic",
+    "artillery", "payroll",
 ]
 
 # Event coreference clustering configuration (link_coref.py:2041-2042,

@@ -72,6 +72,21 @@ def _py_stem(w: str) -> str:
     return w
 
 
+def _ner_arg():
+    """Map entity-typed ``ner`` tags to argument classes — the
+    low-precedence recall fallback.  Only the entity families the
+    gazetteers can miss (look-back inherited nouns): Organization /
+    Person / System-Software-Device; shape classes (CVE, Money, …)
+    stay with their dedicated higher-precedence rules."""
+    t = F.substring(F.col("ner"), 3, 1000)
+    return (
+        F.when(t == "Organization", "Organization")
+        .when(t == "Person", "Person")
+        .when(t.isin("System", "Software", "Device"), "System")
+        .otherwise(F.lit(None))
+    )
+
+
 def _stem(col):
     """Light suffix stem so lexicon matches inflections the reference
     reaches via word2vec similarity (link_coref.py:254-283)."""
@@ -118,7 +133,18 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     Trigger precedence mirrors combine() (link_coref.py:1196-1219):
     lexicon match (dtrigger analog) > general-noun-by-histogram
     (gtrigger analog applies only when nothing else fired).
+
+    A derived ``ner`` column (whitelist/BIO encoding + J8 look-back
+    propagation, operators/ner.py) is computed when absent; entity
+    types the argument gazetteers missed — above all look-back
+    inherited Organization/Person/System on common nouns — become
+    low-precedence argument candidates, the recall role NER features
+    play in the reference's models (parseJsontoFeatures.py:232-256).
     """
+    if "ner" not in tokens.columns:
+        from .ner import with_ner
+
+        tokens = with_ner(tokens)
     low = F.lower(F.col("token"))
     stem = _stem(F.col("token"))
 
@@ -221,6 +247,7 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
         .when(low.isin(_VENDOR_GAZ), "Organization")
         .when(low.isin(_SYSTEM_GAZ), "System")
         .when(low.isin(_PERSON_GAZ), "Person")
+        .when(_ner_arg().isNotNull(), _ner_arg())
         .when(is_number, "Number")
         .when(low.isin(config.GENERAL_ARG["Vulnerability"]), "Vulnerability")
         .when(low.isin(config.GENERAL_ARG["Patch"]), "Patch")
