@@ -300,6 +300,19 @@ NER_ORG_NOUNS = [
     "artillery", "payroll",
 ]
 
+# P4: (event subtype -> argument entity types) whose ROLE is ambiguous
+# and therefore routed to the role-phrase model; all other pairs get
+# the deterministic RolePair role.  Verbatim AmbiguousList,
+# prepare.py:177-179.
+AMBIGUOUS_LIST = {
+    "Phishing": ["Person", "Organization", "Website"],
+    "Ransom": ["Person", "Organization", "Website", "Money"],
+    "Databreach": ["Person", "Organization", "Website", "Number"],
+    "DiscoverVulnerability": ["Person", "Organization"],
+    "PatchVulnerability": ["Person", "Organization", "Website", "Device",
+                           "Product", "Version"],
+}
+
 # Event coreference clustering configuration (link_coref.py:2041-2042,
 # linkage/threshold at :1670, feature weights at :1653-1679).
 COREF_WEIGHTS = [0.141, 0.177, 0.14, 0.148, 0.112, 0.141, 0.141]

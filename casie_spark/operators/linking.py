@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
-from ..util import materialize
+from ..util import truncate
 from .spans import assemble_spans
 
 
@@ -120,8 +120,11 @@ def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFram
     ).drop("_e_doc")
     cand = cand.filter(_compat(F.col("subtype"), F.col("arg_type")))
 
+    # candidate-pair scale (tiny): truncate cuts the plan subtree so
+    # the three downstream references render a leaf, not the whole
+    # span-assembly lineage (see triples_from_tagged barrier note)
     warg = Window.partitionBy("doc_id", "arg_id")
-    cand = materialize(cand.withColumn("n_cand", F.count("*").over(warg)))
+    cand = truncate(cand.withColumn("n_cand", F.count("*").over(warg)))
 
     # --- tie-break info, computed ONLY for tokens inside the spans of
     # multi-candidate arguments (a tiny fraction of the token stream;
@@ -187,14 +190,36 @@ def link(events: DataFrame, arguments: DataFrame, tagged: DataFrame) -> DataFram
     return out.drop("select_sent", "arg_end", "ev_sent")
 
 
+# W3 symbol alphabet, verbatim parseJsontoFeatures.py:37 — note the
+# quirky order: 'x' is skipped after 'w' and appended after 'aa', so
+# bucket 23 is 'y' and the >=26 overflow bucket is 'x'
+DISTANCE_SYMBOLS = ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+                    "k", "l", "m", "n", "o", "p", "q", "r", "s", "t",
+                    "u", "v", "w", "y", "z", "aa", "x"]
+
+
+def encode_distance(d):
+    """W3: 26-bucket distance symbol ``encoded[min(d, 26)]``
+    (parseJsontoFeatures.py:431-433,486)."""
+    syms = F.array(*[F.lit(s) for s in DISTANCE_SYMBOLS])
+    return F.element_at(syms, F.least(d, F.lit(26)).cast("int") + 1)
+
+
 def nearest_trigger(tagged: DataFrame) -> DataFrame:
-    """Per token: nearest trigger surface + relative position, for the
-    whole token stream (see _nearest_trigger_for for the restricted
-    variant the linker uses)."""
+    """Per token: nearest trigger surface + relative position +
+    26-bucket distance symbol (W3), for the whole token stream (see
+    _nearest_trigger_for for the restricted variant the linker uses).
+    ``dist_code`` is null for the differsentence case, where the
+    reference encodes no same-sentence token distance."""
     toks = tagged.select(
         "doc_id", F.lit(0).alias("arg_id"), "sent_id", "token_id", "begin"
     ).filter(F.col("begin").isNotNull())
-    return _nearest_trigger_for(toks, tagged).drop("arg_id")
+    out = _nearest_trigger_for(toks, tagged).drop("arg_id")
+    return out.withColumn(
+        "dist_code",
+        F.when(F.col("trigger_position") != "differsentence",
+               encode_distance(F.abs(F.col("near_tid") - F.col("token_id"))))
+    ).drop("near_tid")
 
 
 def _nearest_trigger_for(toks: DataFrame, tagged: DataFrame) -> DataFrame:
@@ -217,8 +242,11 @@ def _nearest_trigger_for(toks: DataFrame, tagged: DataFrame) -> DataFrame:
 
     # min_by over a doc-clustered groupBy instead of a per-token window:
     # HashPartitioning(doc_id) satisfies clustering on (doc_id, sent_id,
-    # token_id), so neither aggregation re-shuffles.
-    samesent = (
+    # token_id), so neither aggregation re-shuffles.  samesent feeds
+    # BOTH union branches below — truncate stops the subtree executing
+    # twice AND keeps the rendered plan a leaf (in the linker, toks is
+    # restricted to multi-candidate argument spans, so this is tiny).
+    samesent = truncate(
         toks.join(
             trig,
             (F.col("doc_id") == F.col("_t_doc")) & (F.col("sent_id") == F.col("t_sent")),
@@ -246,6 +274,7 @@ def _nearest_trigger_for(toks: DataFrame, tagged: DataFrame) -> DataFrame:
         F.when(F.col("_best.t_tid") < F.col("token_id"), "before")
         .otherwise("after")
         .alias("trigger_position"),
+        F.col("_best.t_tid").alias("near_tid"),
     )
 
     # tokens with no same-sentence trigger: look at sent +/- 1
@@ -269,5 +298,6 @@ def _nearest_trigger_for(toks: DataFrame, tagged: DataFrame) -> DataFrame:
             ).alias("near_trigger"),
         )
         .withColumn("trigger_position", F.lit("differsentence"))
+        .withColumn("near_tid", F.lit(None).cast("int"))
     )
     return same_hit.unionByName(adj_hit)

@@ -1,6 +1,6 @@
-"""Model-inference tagging stage: Arrow-batched ``mapInPandas`` with
-broadcast numpy weights — the distributed-inference harness for the
-reference's BiLSTM-CRF stages (SURVEY.md §2.10).
+"""Model-inference tagging stage: Arrow-batched scalar ``pandas_udf``
+with broadcast numpy weights — the distributed-inference harness for
+the reference's BiLSTM-CRF stages (SURVEY.md §2.10).
 
 The reference loads Keras models once and loops documents sequentially
 (link_coref.py:89-119, :1960-1968, :1978).  Here the same contract is a
@@ -9,40 +9,45 @@ DataFrame stage:
 - weights live in a ``SparkContext.broadcast`` — deserialized once per
   Python worker, reused across all Arrow batches (the reference's
   "load model once" optimization, S5 in SURVEY §2.1);
-- inference is numpy matmul over whole Arrow batches (the analog of the
-  reference's batched ``model.predict``, nug_arg_detection.py:320),
-  followed by ``argmax`` (P5) inside the UDF;
-- tokens are dictionary-encoded with a hashed vocab, OOV=1 / PAD=0
+- inference is numpy table-gathers over whole Arrow batches (the
+  analog of the reference's batched ``model.predict``,
+  nug_arg_detection.py:320) followed by ``argmax`` (P5) inside the
+  UDF; tokens are dictionary-encoded with a hashed vocab, OOV=1/PAD=0
   reserved exactly like x2index.py:20-26 (F11);
 - the emitted columns are the same tagging contract as ``tag_rules``
-  (trigger_tag / arg_tag), so the downstream linking DAG is untouched —
-  real BiLSTM-CRF weights slot in by swapping ``TaggerWeights`` and the
-  ``_score`` matmul, nothing else.
+  (trigger_tag / arg_tag), so the downstream linking DAG is untouched.
 
-Because the reference's trained blobs are absent upstream
-(.MISSING_LARGE_BLOBS), the shipped weights are *distilled from the
-rule tagger*: a linear model whose hashed-unigram weights reproduce the
-lexicon/gazetteer decisions.  That keeps the whole path deterministic
-and lets tests measure model-vs-rules triple parity end to end.
+The inference expression is a SCALAR pandas_udf, not mapInPandas: an
+expression leaves the plan node's attribute ids intact, so the lag /
+lead context columns before it and the BIO-assembly windows after it
+all ride the pipeline's single doc_id exchange (mapInPandas emits
+fresh attribute ids, which forced a second token-stream shuffle).
+Context features (prev/next token) are computed JVM-side as window
+columns, so Arrow batch boundaries can never truncate a context — the
+prediction is bit-for-bit independent of batching and partitioning.
 
-Scale notes: the stage is embarrassingly parallel over the salted
-doc_id partitioning; Arrow batch size is bounded by
-``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py) so
-`batch × dim` activations stay in worker memory regardless of input
-size.  BIO continuation is repaired JVM-side afterwards (shared window
-logic), so batch boundaries never split a decision.
+Two weight providers:
+
+- ``distill_rule_weights`` — deterministic unigram weights distilled
+  from the rule lexicons (the round-1 harness; kept as fallback and
+  for harness-parity tests);
+- ``load_weights`` — trained context-feature weights
+  (operators/train_tagger.py trains them on the 1,000 gold-annotated
+  CASIE articles; artifact at casie_spark/artifacts/tagger_weights.npz)
+  with per-feature tables t0/s0/tm1/tp1/shape + bias per head.
 """
 
 from __future__ import annotations
 
+import os
 import zlib
-from collections.abc import Iterator
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .. import config
 
@@ -50,11 +55,28 @@ PAD_ID = 0   # x2index.py:20-26 reserves 0/1
 OOV_ID = 1
 VOCAB_BITS = 16
 VOCAB_SIZE = 1 << VOCAB_BITS
+BIGRAM_SIZE = 1 << 17
+TRIGRAM_SIZE = 1 << 18
+N_SHAPES = 10
 
 TRIGGER_LABELS = ["O"] + list(config.EVENT_SUBTYPES)
 ARG_LABELS = ["O", "CVE", "Version", "Money", "Time", "Malware", "PII",
               "Data", "Organization", "System", "Person", "Number",
               "Vulnerability", "Patch"]
+# full gold argument-type inventory (data/annotation arg.type values)
+GOLD_ARG_LABELS = ["O", "CVE", "Capabilities", "Data", "Device", "File",
+                   "GPE", "Malware", "Money", "Number", "Organization",
+                   "PII", "Patch", "PaymentMethod", "Person", "Purpose",
+                   "Software", "System", "Time", "Version",
+                   "Vulnerability", "Website"]
+
+ARTIFACT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "tagger_weights.npz",
+)
+
+_CTX_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri", "b")
+_GATHER_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri")
 
 
 def token_id(tok: str) -> int:
@@ -63,14 +85,109 @@ def token_id(tok: str) -> int:
     return 2 + (zlib.crc32(tok.lower().encode("utf-8")) % (VOCAB_SIZE - 2))
 
 
+def shape_id(tok: str) -> int:
+    """Closed word-shape feature (F10's one-hot analog): 10 classes."""
+    if not tok:
+        return 0
+    if tok.startswith("CVE-"):
+        return 9
+    has_digit = any(c.isdigit() for c in tok)
+    if has_digit and "." in tok:
+        return 8  # version-shaped
+    if tok.isdigit():
+        return 7
+    if has_digit:
+        return 6
+    if "$" in tok:
+        return 5
+    if tok.isupper() and len(tok) > 1:
+        return 4
+    if tok[0].isupper():
+        return 3
+    if tok.islower():
+        return 2
+    if not any(c.isalnum() for c in tok):
+        return 1
+    return 0
+
+
+def _ngram_id(s: str, size: int) -> int:
+    return zlib.crc32(s.encode("utf-8")) % size
+
+
+def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray]:
+    """Shared train/inference featurizer: hashed ids for the current
+    token (raw + stem), its sentence neighbors (PAD at boundaries),
+    its shape class, and the hashed bigrams/trigram around it (the
+    memorization features — a linear sum over unigram tables cannot
+    represent context-dependent labels; the n-gram rows can).  One
+    dict of int64 arrays per batch."""
+    from .tagging import _py_stem
+
+    n = len(toks)
+
+    def norm(t):
+        return "" if t is None or (isinstance(t, float) and pd.isna(t)) \
+            else str(t).lower()
+
+    low = [norm(t) for t in toks]
+    plo = [norm(t) for t in prevs]
+    nlo = [norm(t) for t in nexts]
+
+    def ids(seq, fn):
+        return np.fromiter((fn(t) for t in seq), dtype=np.int64, count=n)
+
+    return {
+        "t0": ids(low, token_id),
+        "s0": ids(low, lambda t: token_id(_py_stem(t))),
+        "tm1": ids(plo, lambda t: PAD_ID if not t else token_id(t)),
+        "tp1": ids(nlo, lambda t: PAD_ID if not t else token_id(t)),
+        "sh": ids(toks, lambda t: shape_id(str(t))),
+        "b1": np.fromiter(
+            (_ngram_id(p + "|" + c, BIGRAM_SIZE) for p, c in zip(plo, low)),
+            dtype=np.int64, count=n),
+        "b2": np.fromiter(
+            (_ngram_id(c + "|" + x, BIGRAM_SIZE) for c, x in zip(low, nlo)),
+            dtype=np.int64, count=n),
+        "tri": np.fromiter(
+            (_ngram_id(p + "|" + c + "|" + x, TRIGRAM_SIZE)
+             for p, c, x in zip(plo, low, nlo)),
+            dtype=np.int64, count=n),
+    }
+
+
 @dataclass
 class TaggerWeights:
-    """Linear scorer per head: logits = W[token_id].  Swap in trained
-    matrices (and a richer _score) for real models."""
-    w_trigger: np.ndarray  # (VOCAB_SIZE, len(TRIGGER_LABELS)) float32
-    w_arg: np.ndarray      # (VOCAB_SIZE, len(ARG_LABELS)) float32
+    """Per-head scorer.  Without context tables: logits = W[token_id]
+    (the distilled unigram model).  With them: logits = sum of one
+    gather per feature table + bias — the trained linear model.  Swap
+    in richer tables (and a richer ``score``) for sequence models."""
+    w_trigger: np.ndarray  # (VOCAB_SIZE, len(trigger_labels)) float32
+    w_arg: np.ndarray      # (VOCAB_SIZE, len(arg_labels)) float32
     trigger_labels: list[str] = field(default_factory=lambda: list(TRIGGER_LABELS))
     arg_labels: list[str] = field(default_factory=lambda: list(ARG_LABELS))
+    trig_ctx: dict[str, np.ndarray] | None = None
+    arg_ctx: dict[str, np.ndarray] | None = None
+
+    def score(self, toks: list, prevs: list, nexts: list
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch -> (trigger label indices, arg label indices)."""
+        f = feature_arrays(toks, prevs, nexts)
+        if self.trig_ctx is None:
+            trig_logits = self.w_trigger[f["s0"]]
+            arg_logits = self.w_arg[f["t0"]]
+        else:
+            trig_logits = _ctx_logits(self.trig_ctx, f)
+            arg_logits = _ctx_logits(self.arg_ctx, f)
+        return trig_logits.argmax(axis=1), arg_logits.argmax(axis=1)
+
+
+def _ctx_logits(tables: dict[str, np.ndarray], f: dict[str, np.ndarray]
+                ) -> np.ndarray:
+    out = tables["b"][None, :].astype(np.float32).repeat(len(f["t0"]), axis=0)
+    for k in _GATHER_KEYS:
+        out += tables[k][f[k]]
+    return out
 
 
 def _stemmed_forms(w: str) -> set[str]:
@@ -143,56 +260,76 @@ def distill_rule_weights() -> TaggerWeights:
     return TaggerWeights(wt, wa)
 
 
+_CACHED_WEIGHTS: TaggerWeights | None = None
+
+
+def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
+    """Trained artifact if present, else the distilled fallback.
+    Cached per process (the driver builds the broadcast from it)."""
+    global _CACHED_WEIGHTS
+    if _CACHED_WEIGHTS is not None:
+        return _CACHED_WEIGHTS
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        trig_ctx = {k: z[f"trig_{k}"].astype(np.float32) for k in _CTX_KEYS}
+        arg_ctx = {k: z[f"arg_{k}"].astype(np.float32) for k in _CTX_KEYS}
+        w = TaggerWeights(
+            w_trigger=np.zeros((VOCAB_SIZE, len(TRIGGER_LABELS)), np.float32),
+            w_arg=np.zeros((VOCAB_SIZE, len(GOLD_ARG_LABELS)), np.float32),
+            trigger_labels=[str(s) for s in z["trigger_labels"]],
+            arg_labels=[str(s) for s in z["arg_labels"]],
+            trig_ctx=trig_ctx,
+            arg_ctx=arg_ctx,
+        )
+    else:  # pragma: no cover - artifact is committed
+        w = distill_rule_weights()
+    _CACHED_WEIGHTS = w
+    return w
+
+
 def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFrame:
     """tokens -> + trigger_tag, arg_tag via broadcast-weight batched
     inference.  Regex/shape argument classes (CVE, Version, Money,
-    Number, year) stay JVM-side — a linear unigram model cannot carry a
-    regex, and the reference likewise backstops models with rules
-    (findargument, link_coref.py:751-786)."""
+    Number, year) stay JVM-side — they backstop the model exactly like
+    the reference's findargument rules (link_coref.py:751-786)."""
     spark = tokens.sparkSession
     if weights is None:
-        weights = distill_rule_weights()
+        weights = load_weights()
     bc = spark.sparkContext.broadcast(weights)
 
-    out_schema = ", ".join(
-        f"{name} {dtype}" for name, dtype in tokens.dtypes
-    ) + ", _m_trig string, _m_arg string"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @pandas_udf("trig string, arg string")
+    def predict(tok: pd.Series, ptok: pd.Series, ntok: pd.Series) -> pd.DataFrame:
         w = bc.value  # one deserialization per worker, reused per batch
-        trig_labels = np.array(w.trigger_labels, dtype=object)
-        arg_labels = np.array(w.arg_labels, dtype=object)
-        from .tagging import _py_stem
+        ti, ai = w.score(tok.astype(str).tolist(), ptok.tolist(), ntok.tolist())
+        return pd.DataFrame({
+            "trig": np.array(w.trigger_labels, dtype=object)[ti],
+            "arg": np.array(w.arg_labels, dtype=object)[ai],
+        })
 
-        for pdf in batches:
-            toks = [t.lower() for t in pdf["token"].astype(str)]
-            # trigger head: stem-normalized ids (tag_rules matches the
-            # trigger lexicon on exact OR stem form — the reference
-            # reaches inflections via w2v similarity,
-            # link_coref.py:254-283); argument head: raw ids (the
-            # gazetteers match exact lowercase only)
-            ids_stem = np.fromiter(
-                (token_id(_py_stem(t)) for t in toks),
-                dtype=np.int64, count=len(toks),
-            )
-            ids_raw = np.fromiter(
-                (token_id(t) for t in toks), dtype=np.int64, count=len(toks),
-            )
-            trig_logits = w.w_trigger[ids_stem]     # (batch, L) gather
-            arg_logits = w.w_arg[ids_raw]
-            trig = trig_labels[trig_logits.argmax(axis=1)]  # P5 argmax
-            arg = arg_labels[arg_logits.argmax(axis=1)]
-            out = pdf.copy()
-            out["_m_trig"] = trig
-            out["_m_arg"] = arg
-            yield out
-
-    df = tokens.mapInPandas(run, schema=out_schema)
-    # mapInPandas emits fresh attribute ids, so any partitioning below
-    # it is invisible to Catalyst — the ONE explicit doc_id exchange of
-    # the token stream therefore goes ABOVE the (narrow, per-row)
-    # inference stage; every window downstream rides it via the
-    # clustering subset rule.  Callers must NOT pre-repartition.
+    # Python-eval plan nodes (ArrowEvalPython) do not propagate the
+    # child's partitioning, so everything AFTER the inference
+    # expression that needs doc_id clustering would re-shuffle the
+    # token stream.  Therefore: consume the tokenizer's precomputed
+    # sentence-context columns when present (tokenize(context=True)),
+    # run inference pre-exchange, and let the ONE explicit doc_id
+    # repartition sit above it — all BIO/dominant windows ride that.
+    # Without precomputed context (generic callers), fall back to
+    # lag/lead windows, which costs a second exchange.
+    if "_ptok" in tokens.columns:
+        df = tokens
+    else:
+        wsent = Window.partitionBy("doc_id", "sent_id").orderBy("token_id")
+        df = (
+            tokens
+            .withColumn("_ptok", F.lag("token", 1).over(wsent))
+            .withColumn("_ntok", F.lead("token", 1).over(wsent))
+        )
+    df = (
+        df.withColumn("_m", predict(F.col("token"), F.col("_ptok"), F.col("_ntok")))
+        .withColumn("_m_trig", F.col("_m.trig"))
+        .withColumn("_m_arg", F.col("_m.arg"))
+        .drop("_m", "_ptok", "_ntok")
+    )
     df = df.repartition(F.col("doc_id"))
 
     # JVM-side shape/regex argument classes + BIO assembly (shared
@@ -235,9 +372,22 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
         "_trig_t", F.when(F.col("_m_trig") != "O", F.col("_m_trig"))
     )
     df = with_dominant_trigger(df, "_trig_t").drop("_trig_t")
+    # consecutive same-type trigger tokens continue one nugget span
+    # (I-) — the trained heads label every token of a multi-token gold
+    # nugget, so without continuation each token would open its own
+    # B- span and halve mention precision.  Continuation requires the
+    # previous token to have actually EMITTED a trigger (same type,
+    # not overridden by the argument conflict rule).
+    prev_trig = F.when(same_sent, F.lag("_m_trig", 1).over(w))
+    prev_was_trigger = (
+        prev_trig.eqNullSafe(F.col("_m_trig"))
+        & F.when(same_sent, F.lag("_arg", 1).over(w)).isNull()
+    )
     df = df.withColumn(
         "trigger_tag",
         F.when(F.col("_arg").isNotNull(), F.lit("O"))
+        .when((F.col("_m_trig") != "O") & prev_was_trigger,
+              F.concat(F.lit("I-"), F.col("_m_trig")))
         .when(F.col("_m_trig") != "O", F.concat(F.lit("B-"), F.col("_m_trig")))
         .when(low.isin(config.GENERAL_NOUNS["general"])
               & F.col("_dominant").isNotNull(),

@@ -195,18 +195,42 @@ def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
     is_i = F.when(ner.startswith("I-"), F.lit(1)).otherwise(F.lit(0))
     code = type_code * 2 + is_i  # null when not a compat-typed entity
 
-    # token_id < 2^20 asserted by the tokenizer contract; sent major
+    # token_id clamped to its 20-bit field — a pathological unsplit
+    # page saturates (position ties) instead of corrupting the
+    # sent-major bits; sent major
     wr = Window.partitionBy("doc_id").orderBy("sent_id") \
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    tid = F.least(F.col("token_id").cast("long"), F.lit((1 << 20) - 1))
     pos_key = (F.col("sent_id").cast("long") * (1 << 27)
-               + ((1 << 20) - 1 - F.col("token_id")) * (1 << 7))
+               + ((1 << 20) - 1 - tid) * (1 << 7))
 
-    df = tokens
-    best_cols = {}
+    # noun classification first: case-sensitive raw-token membership,
+    # first matching gazetteer wins (if/elif order).  Each noun list
+    # appears in the plan exactly ONCE — membership flags land in their
+    # own projection and CollapseProject does not inline non-cheap
+    # expressions, which keeps the logical-plan string linear in the
+    # gazetteer size instead of quadratic (plan-growth guard).
+    tok = F.col("token")
+    grp = None
+    for gname, nouns, _ in _COMPAT_GROUPS:
+        c = tok.isin(sorted(set(nouns)))
+        grp = F.when(c, gname) if grp is None else grp.when(c, gname)
+    # Spark-side "is plural" must agree with singular_noun(); the
+    # gazetteers are finite, so enumerate their plural forms instead of
+    # re-implementing the rules in SQL
+    plural_forms = sorted({
+        w for _, nouns, _ in _COMPAT_GROUPS for w in nouns
+        if singular_noun(w) is not False
+    })
+    plural = tok.isin(plural_forms) if plural_forms else F.lit(False)
+    df = tokens.withColumn("_nngrp", grp).withColumn("_nnplural", plural)
+
+    # one max-window per compatibility group, materialized as real
+    # columns so later expressions reference attributes, not copies
     for gname, _nouns, group_types in _COMPAT_GROUPS:
         in_group = ner_type.isin(group_types)
         key = F.when(code.isNotNull() & in_group, pos_key + code)
-        best_cols[gname] = F.max(key).over(wr)
+        df = df.withColumn(f"_best_{gname}", F.max(key).over(wr))
 
     # decode a packed key back to the full BIO string
     def decode(best: Column) -> Column:
@@ -218,32 +242,19 @@ def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
             t_name = F.when(t_idx == i, F.lit(t)).otherwise(t_name)
         return F.concat(prefix, t_name)
 
-    # noun classification: case-sensitive raw-token membership, first
-    # matching gazetteer wins; only untagged singular nouns inherit
-    tok = F.col("token")
-    plural = F.lit(False)
-    # Spark-side "is plural" must agree with singular_noun(); the
-    # gazetteers are finite, so enumerate their plural forms instead of
-    # re-implementing the rules in SQL
-    plural_forms = sorted({
-        w for _, nouns, _ in _COMPAT_GROUPS for w in nouns
-        if singular_noun(w) is not False
-    })
-    if plural_forms:
-        plural = tok.isin(plural_forms)
-
     inherited = F.lit(None).cast("string")
-    claimed = F.lit(False)
-    for gname, nouns, _ in _COMPAT_GROUPS:
-        in_nouns = tok.isin(sorted(set(nouns))) & ~claimed
-        inherited = F.when(in_nouns & best_cols[gname].isNotNull(),
-                           decode(best_cols[gname])).otherwise(inherited)
-        claimed = claimed | tok.isin(sorted(set(nouns)))
+    for gname, _nouns, _ in _COMPAT_GROUPS:
+        best = F.col(f"_best_{gname}")
+        inherited = F.when(
+            (F.col("_nngrp") == gname) & best.isNotNull(), decode(best)
+        ).otherwise(inherited)
 
     out = F.when(
-        (ner == "O") & ~plural & inherited.isNotNull(), inherited
+        (ner == "O") & ~F.col("_nnplural") & inherited.isNotNull(), inherited
     ).otherwise(ner)
-    return df.withColumn(ner_col, out)
+    return df.withColumn(ner_col, out).drop(
+        "_nngrp", "_nnplural", *[f"_best_{g}" for g, _, _ in _COMPAT_GROUPS]
+    )
 
 
 def with_ner(tokens: DataFrame) -> DataFrame:

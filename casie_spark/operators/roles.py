@@ -44,18 +44,58 @@ def role_lookup_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def assign_roles(linked: DataFrame) -> DataFrame:
-    """linked (from operators.linking.link) -> + final ``role``."""
+def is_ambiguous_role(subtype, arg_type):
+    """P4 candidate predicate (AmbiguousList, prepare.py:177-179):
+    True when the (event subtype, argument entity type) pair has more
+    than one plausible role and the reference routes it to the
+    role-phrase model instead of the deterministic RolePair table."""
+    c = F.lit(False)
+    for sub, types in config.AMBIGUOUS_LIST.items():
+        c = c | ((subtype == sub) & arg_type.isin(types))
+    return c
+
+
+def ambiguous_role_candidates(linked: DataFrame) -> DataFrame:
+    """The role-model candidate set: linked pairs passing the P4
+    filter.  This is the exact input selection of the reference's
+    role-phrase stage (role_phrase.py:35 ArgumentList3 narrows the
+    label files the same way)."""
+    return linked.filter(
+        is_ambiguous_role(F.col("subtype"), F.col("arg_type")))
+
+
+def assign_roles(linked: DataFrame, provider=None) -> DataFrame:
+    """linked (from operators.linking.link) -> + final ``role``.
+
+    ``provider``: optional role-phrase model hook — a callable taking
+    the P4 candidate subset (``ambiguous_role_candidates``) and
+    returning (doc_id, event_id, arg_id, role) predictions.  Ambiguous
+    pairs resolve as upstream > provider > deterministic; unambiguous
+    pairs never reach the provider, exactly like the reference routes
+    only AmbiguousList pairs through its model."""
     spark = linked.sparkSession
     has_role = "role" in linked.columns
     upstream = F.col("role") if has_role else F.lit(None).cast("string")
 
     lookup = role_lookup_df(spark)
     df = linked.join(F.broadcast(lookup), ["subtype", "arg_type"], "left")
+    provided = F.lit(None).cast("string")
+    if provider is not None:
+        preds = provider(ambiguous_role_candidates(linked)).select(
+            "doc_id", "event_id", "arg_id",
+            F.col("role").alias("_provider_role"),
+        )
+        df = df.join(preds, ["doc_id", "event_id", "arg_id"], "left")
+        provided = F.when(
+            is_ambiguous_role(F.col("subtype"), F.col("arg_type")),
+            F.col("_provider_role"),
+        )
     df = df.withColumn(
         "role",
-        F.coalesce(upstream, F.col("single_role"), F.col("first_role")),
+        F.coalesce(upstream, provided, F.col("single_role"), F.col("first_role")),
     ).drop("single_role", "first_role")
+    if provider is not None:
+        df = df.drop("_provider_role")
 
     # Databreach Number -> look at the next attached argument's role
     wnext = Window.partitionBy("doc_id", "event_id").orderBy("arg_id")

@@ -108,11 +108,19 @@ def apply_forced_triggers(tagged: DataFrame) -> DataFrame:
         is_anchor = F.col("_alab").isin(anchors)
         anchor_pos = F.min(F.when(is_anchor, F.col("token_id"))).over(w_sent)
 
+        # clamp both bit fields so a pathological unsplit "sentence"
+        # (>524k tokens) saturates its field instead of corrupting the
+        # higher-order ones; ordering within such a page degrades to
+        # ties, which the min() still breaks deterministically
+        tid = F.least(F.col("token_id").cast("long"),
+                      F.lit((1 << _TID_BITS) - 1))
+        dist = F.least(F.abs(F.col("token_id") - anchor_pos).cast("long"),
+                       F.lit((1 << 20) - 1))
         key = (
             (~verbish).cast("long") * (1 << _NV_SHIFT)
-            + F.abs(F.col("token_id") - anchor_pos) * (1 << _DIST_SHIFT)
+            + dist * (1 << _DIST_SHIFT)
             + (F.col("token_id") > anchor_pos).cast("long") * (1 << _AFTER_SHIFT)
-            + F.col("token_id")
+            + tid
         )
         best = F.min(F.when(free & need, key)).over(w_sent)
         pick_cols.append(

@@ -215,6 +215,46 @@ def ivf_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
     )
 
 
+def sentence_vectors(tokens: DataFrame, word_vectors: DataFrame,
+                     dim: int,
+                     id_cols: tuple[str, ...] = ("doc_id", "sent_id"),
+                     token_col: str = "token") -> DataFrame:
+    """A8: mean word-vector per sentence (``avg_sentence_vector``,
+    reference link_coref.py:285-298): sum the vectors of the
+    sentence's in-vocabulary words, divide by their count; sentences
+    with no known word keep the zero vector (the reference returns
+    zeros when nwords == 0).
+
+    ``word_vectors``: (word, vector array<float/double>) — any
+    embedding table; the reference's w2v matrix is absent upstream, so
+    tests feed a synthetic lookup through the identical contract.
+
+    Shape: inner join (AQE picks broadcast when the vocabulary is
+    small) + ONE groupBy with a zip_with fold over collect_list — all
+    JVM-side, no per-row Python; the fold replaces a posexplode of
+    dim x tokens rows, so the shuffle carries one array per token, not
+    one row per vector component."""
+    wv = word_vectors.select(
+        F.lower(F.col("word")).alias("_w"),
+        F.col("vector").alias("_v"),
+    )
+    j = tokens.select(
+        *id_cols, F.lower(F.col(token_col)).alias("_w")
+    ).join(wv, "_w", "inner")
+    zero = F.array(*[F.lit(0.0)] * dim)
+    agg = j.groupBy(*id_cols).agg(F.collect_list("_v").alias("_vs"))
+    summed = F.aggregate(
+        "_vs", zero,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+    )
+    n = F.size("_vs")
+    return agg.select(
+        *id_cols,
+        F.transform(summed, lambda x: x / n).alias("sent_vec"),
+        n.alias("n_words"),
+    )
+
+
 def lsh_neardup(emb: DataFrame, threshold: float = 0.4,
                 n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM,
                 n_tables: int = DEFAULT_TABLES,

@@ -245,6 +245,67 @@ def list_chunks(tree: dict[str, list[str]]):
     return nps, vps, dnp, dvp
 
 
+def subtree_tokens(tree: dict[str, list[str]], node: str,
+                   tokenlist: list[str]) -> list[str]:
+    """G: ``subtree`` (reference tree.py:209-221): gather the leaf
+    nodes under ``node`` whose gloss is in ``tokenlist``, in DFS child
+    order.  Quirks preserved:
+
+    - hitting a child whose node string CONTAINS ``'S_@_'`` stops the
+      scan of the current node's remaining children only (the
+      reference's early ``return`` is not propagated by its callers) —
+      and because it is a substring test, labels *ending* in S (NNS,
+      NNPS) trigger it too;
+    - the gloss membership test runs before the S test, so a token
+      literally spelled like a label is collected, not aborted.
+    """
+    out: list[str] = []
+
+    def walk(n: str) -> None:
+        for x in tree.get(n, []):
+            if "_@_" not in x:
+                continue
+            nd = x.split("_@_")[0]
+            if nd in tokenlist:
+                out.append(x)
+            elif "S_@_" in x:
+                return
+            else:
+                walk(x)
+
+    walk(node)
+    return out
+
+
+def select_sub_s(tree: dict[str, list[str]],
+                 tokens: list[str]) -> list[list[str]]:
+    """G: ``selectSubS`` (reference tree.py:224-253): token runs under
+    non-top-level S nodes that have no NP-labeled child (subordinate
+    clauses without a subject), each run split at comma-initial
+    leaves.  ``idx != '1'`` excludes the sentence's top S (node
+    numbering assigns 1 to the S directly under ROOT on both sides)."""
+    tokenlist = list(tokens)
+    slist = []
+    for node in tree:
+        nd, idx = node.split("_@_")[0], node.split("_@_")[-1]
+        if nd == "S" and idx != "1":
+            for child in tree[node]:
+                if "NP" in child:
+                    break
+            else:
+                slist.append(node)
+    out: list[list[str]] = []
+    for node in slist:
+        stree = subtree_tokens(tree, node, tokenlist)
+        b = 0
+        for i in range(len(stree)):
+            if stree[i].startswith(","):
+                out.append(stree[b:i])
+                b = i + 1
+        out.append(stree[b:len(stree)])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import materialize
+from .util import materialize, truncate
 from .operators.linking import extract_arguments, extract_events, link
 from .operators.roles import assign_roles
 from .operators.rules import apply_rules
@@ -50,8 +50,10 @@ def doc_key(col):
 
 def tagged_tokens(documents: DataFrame, id_col: str = "url",
                   mode: str = "rules", gold=None,
-                  hash_ids: bool = True) -> DataFrame:
+                  hash_ids: bool = True, tagger_weights=None) -> DataFrame:
     """documents -> tagged token table (the model-stage column contract).
+    ``tagger_weights``: optional TaggerWeights override for mode="model"
+    (default: the trained artifact, falling back to distilled).
 
     One explicit hash repartition on doc_id right after tokenization is
     the ONLY full shuffle of the token stream: every downstream window,
@@ -61,19 +63,20 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     (sorts instead of shuffles).
     """
     docs = salt_repartition(documents, id_col)
+    # mode="model" asks the tokenizer for sentence-context columns so
+    # the inference expression can run BEFORE the doc_id exchange
+    # (tag_model owns that exchange; see its partitioning note)
+    ctx = mode == "model"
     if hash_ids:
         docs = docs.withColumn("_doc_key", doc_key(F.col(id_col)))
-        toks = tokenize(docs, id_col="_doc_key", id_type="long")
+        toks = tokenize(docs, id_col="_doc_key", id_type="long", context=ctx)
         if mode == "gold" and gold is not None:
             gold = tuple(
                 g.withColumn("doc_id", doc_key(F.col("doc_id"))) for g in gold
             )
     else:
-        toks = tokenize(docs, id_col=id_col)
+        toks = tokenize(docs, id_col=id_col, context=ctx)
     if mode != "model":
-        # mode="model" repartitions inside tag_model instead, above the
-        # narrow mapInPandas stage (whose fresh attribute ids would
-        # hide a pre-existing partitioning from Catalyst)
         toks = toks.repartition(F.col("doc_id"))
     # toks has a SINGLE consumer (the tagging stage — histogram and
     # rule sweeps are window ops now, not join-backs), so it needs no
@@ -92,7 +95,7 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
         # its model predictions (recheck/compatible/combine)
         from .operators.model_tagger import tag_model
 
-        tagged = apply_rules(tag_model(toks))
+        tagged = apply_rules(tag_model(toks, weights=tagger_weights))
     elif mode == "gold":
         ev, ar = gold
         tagged = tag_gold_replay(toks, ev, ar)
@@ -103,17 +106,23 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     """tagged tokens -> (subj, pred, obj) triples."""
-    # events is referenced twice inside link() (sentence lookup +
-    # candidate join) — persist to stop subtree re-execution; args has
-    # a single linear consumer chain, no barrier needed
-    events = materialize(extract_events(tagged, carry=["realis"]))
+    # events is referenced 3-5x downstream (realis windows, sentence
+    # lookup, candidate join).  It is EVENT-scale (~100x smaller than
+    # the token stream), so the barrier is `truncate` rather than
+    # `materialize`: localCheckpoint replaces the logical subtree with
+    # a leaf, so the linking DAG's plan tree stays O(stage) instead of
+    # O(references x subtree) — the repeated 10+ MB plan renders the
+    # driver otherwise pays per AQE job were the serial bottleneck.
+    # The token-scale `tagged` frame keeps the cheaper columnar
+    # materialize (its subtree renders once per reference, bounded).
+    events = truncate(extract_events(tagged, carry=["realis"]))
     if "realis" not in events.columns:
         # rules/model tagging carries no realis — run the M4 stage
         # (two-pass cue classifier over the ±7-token W2 window); gold
         # replay keeps the annotated labels instead
         from .operators.realis import with_realis
 
-        events = materialize(with_realis(events, tagged))
+        events = truncate(with_realis(events, tagged))
     args = extract_arguments(tagged, carry=["role"])
     linked = link(events, args, tagged)
     rolled = assign_roles(linked)
@@ -137,14 +146,15 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
 
 def run_pipeline(documents: DataFrame, id_col: str = "url",
                  mode: str = "rules", gold=None,
-                 english_only: bool = True) -> DataFrame:
+                 english_only: bool = True, tagger_weights=None) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> triples, doc_id =
     the original url/id (internal long keys are joined back here —
     triples are ~100x smaller than the token stream, so the mapping
     join is cheap)."""
     if english_only and "lang" in documents.columns:
         documents = documents.filter(F.col("lang") == "en")
-    tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold)
+    tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold,
+                           tagger_weights=tagger_weights)
     triples = triples_from_tagged(tagged)
     id_map = documents.select(
         doc_key(F.col(id_col)).alias("doc_id"),

@@ -449,6 +449,51 @@ def q24_multimodal_meta(spark, sf_dir):
     )
 
 
+# word -> entity/noun rewrites shared by q29's Spark side and oracle
+_NER_REWRITES = [
+    (r"\bspark\b", "Microsoft"),   # vendor gazetteer -> B-Organization
+    (r"\bhash\b", "hackers"),      # person gazetteer -> B-Person
+    (r"\bquery\b", "company"),     # org noun: inherits Organization
+    (r"\bscan\b", "customer"),     # person noun: inherits Person
+]
+
+
+def q29_ner_lookback(spark, sf_dir):
+    """Derived NER with J8 look-back inheritance (operators.ner:
+    whitelist/BIO encoding + nouns inheriting the nearest compatible
+    entity's tag) over the documents word stream, fully oracle-checked:
+    the DuckDB SQL mirrors the gazetteers, BIO windows, packed-key max
+    and decode bit-for-bit.  Digit-initial tokens are excluded on both
+    sides so the F2 version-context rules (whose retro-writes need
+    version-shaped tokens) are provably inert — the operator still
+    runs its full chain."""
+    from .operators.ner import with_ner
+
+    d = _load(spark, sf_dir, "documents")
+    # the synthetic corpus is entity-free word soup; map four of its
+    # vocabulary words to entity/noun surfaces DETERMINISTICALLY (the
+    # identical replacement chain runs in the oracle) so the look-back
+    # inheritance actually exercises: Microsoft/hackers are sources,
+    # company/customer are inheriting nouns
+    text = F.col("text")
+    for pat, rep in _NER_REWRITES:
+        text = F.regexp_replace(text, pat, rep)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(text, r"\s+")).alias("pos", "token"),
+    )
+    toks = words.filter(
+        ~F.col("token").rlike(r"^v*\d+\.\d+") & ~F.col("token").rlike(r"^\d")
+    ).select(
+        "doc_id", F.lit(0).alias("sent_id"),
+        (F.col("pos") + 1).alias("token_id"), "token",
+    )
+    out = with_ner(toks)
+    return out.filter(F.col("ner") != "O").select(
+        "doc_id", F.col("token_id").alias("pos"), "token", "ner",
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline-native operators (no ANSI-SQL oracle: iterative clustering /
 # Arrow-UDF stages; the driver records the weaker rows-only check)
@@ -545,6 +590,7 @@ QUERIES = {
     "q26_canonical_graph": q26_canonical_graph,
     "q27_model_inference": q27_model_inference,
     "q28_ann_ivf": q28_ann_ivf,
+    "q29_ner_lookback": q29_ner_lookback,
 }
 
 
@@ -626,6 +672,114 @@ def _ngram_jaccard_oracle() -> str:
         LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes za ON za.doc_id = c.doc_a
         JOIN sizes zb ON zb.doc_id = c.doc_b
+    """
+
+
+def _ner_lookback_oracle() -> str:
+    """DuckDB mirror of q29: every gazetteer / whitelist / packed-key
+    constant is generated from the SAME Python lists the operator
+    uses, so the two engines cannot drift."""
+    from .functions.singular import singular_noun
+    from .operators.ner import _COMPAT_GROUPS
+    from .operators.tagging import (
+        _MONTHS,
+        _PERSON_GAZ,
+        _SYSTEM_GAZ,
+        _VENDOR_GAZ,
+    )
+    from . import config
+
+    def inlist(vals):
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+    weekdays = ["monday", "tuesday", "wednesday", "thursday", "friday",
+                "saturday", "sunday"]
+    dates = inlist(_MONTHS + weekdays)
+    types = sorted({t for _, _, ts in _COMPAT_GROUPS for t in ts})
+    type_code = " ".join(
+        f"WHEN substr(ner1, 3) = '{t}' THEN {i}" for i, t in enumerate(types))
+    group_key = "\n            ".join(
+        f"max(CASE WHEN substr(ner1, 3) IN ({inlist(ts)}) AND code IS NOT NULL"
+        f" THEN pos_key + code END) OVER (PARTITION BY doc_id) AS best_{g},"
+        for g, _ns, ts in _COMPAT_GROUPS)
+    grp = " ".join(
+        f"WHEN w IN ({inlist(sorted(set(ns)))}) THEN '{g}'"
+        for g, ns, _ts in _COMPAT_GROUPS)
+    plural_forms = sorted({
+        w for _, ns, _ in _COMPAT_GROUPS for w in ns
+        if singular_noun(w) is not False})
+
+    def decode(g):
+        names = " ".join(
+            f"WHEN (best_{g} % 128) // 2 = {i} THEN '{t}'"
+            for i, t in enumerate(types))
+        return (f"(CASE WHEN (best_{g} % 128) % 2 = 1 THEN 'I-' ELSE 'B-' "
+                f"END) || (CASE {names} END)")
+
+    inherit = " ".join(
+        f"WHEN grp = '{g}' AND best_{g} IS NOT NULL THEN {decode(g)}"
+        for g, _ns, _ts in _COMPAT_GROUPS)
+    # DuckDB string literals are verbatim (no backslash escaping), so
+    # the regex patterns embed as-is
+    text_expr = "text"
+    for pat, rep in _NER_REWRITES:
+        text_expr = f"regexp_replace({text_expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH rewritten AS (
+            SELECT doc_id, {text_expr} AS text FROM documents
+        ), words AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+            FROM rewritten
+        ), toks AS (
+            SELECT doc_id, w, pos FROM words
+            WHERE NOT regexp_matches(w, '^v*[0-9]+\\.[0-9]+')
+              AND NOT regexp_matches(w, '^[0-9]')
+        ), raw AS (
+            SELECT doc_id, pos, w,
+                CASE
+                    WHEN regexp_matches(w, '^CVE-[0-9]+-[0-9]+$') THEN 'CVE'
+                    WHEN regexp_matches(w, '^https?://') OR regexp_matches(w, '^www\\.') THEN 'URL'
+                    WHEN regexp_matches(w, '^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$') THEN 'EMAIL'
+                    WHEN regexp_matches(w, '^\\$[0-9]') THEN 'MONEY'
+                    WHEN lower(w) IN ({dates}) THEN 'DATE'
+                    WHEN lower(w) IN ({inlist(_VENDOR_GAZ)}) THEN 'ORGANIZATION'
+                    WHEN lower(w) IN ({inlist(_SYSTEM_GAZ)}) THEN 'SOFTWARE'
+                    WHEN lower(w) IN ({inlist(_PERSON_GAZ)}) THEN 'PERSON'
+                    ELSE 'O' END AS r
+            FROM toks
+        ), bio AS (
+            SELECT doc_id, pos, w,
+                CASE WHEN r = 'O' OR r NOT IN ({inlist(config.NER_WHITELIST)}) THEN 'O'
+                     WHEN lag(r) OVER win IS NOT NULL AND lag(r) OVER win <> 'O'
+                          AND lag(r) OVER win IN ({inlist(config.NER_WHITELIST)})
+                          AND lower(lag(r) OVER win) = lower(r)
+                        THEN 'I-' || upper(substr(r, 1, 1)) || lower(substr(r, 2))
+                     ELSE 'B-' || upper(substr(r, 1, 1)) || lower(substr(r, 2))
+                END AS ner1
+            FROM raw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), keyed AS (
+            SELECT *,
+                (CASE {type_code} END) * 2
+                    + (CASE WHEN ner1 LIKE 'I-%' THEN 1 ELSE 0 END) AS code,
+                ((1 << 20) - 1 - least(pos, (1 << 20) - 1)) * 128 AS pos_key
+            FROM bio
+        ), bested AS (
+            SELECT doc_id, pos, w, ner1,
+            {group_key}
+                CASE {grp} END AS grp,
+                w IN ({inlist(plural_forms)}) AS plural
+            FROM keyed
+        ), final AS (
+            SELECT doc_id, pos, w AS token,
+                CASE WHEN ner1 = 'O' AND NOT coalesce(plural, FALSE)
+                          AND (CASE {inherit} END) IS NOT NULL
+                     THEN (CASE {inherit} END)
+                     ELSE ner1 END AS ner
+            FROM bested
+        )
+        SELECT doc_id, pos, token, ner FROM final WHERE ner <> 'O'
     """
 
 
@@ -958,4 +1112,5 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
                    count(DISTINCT md5(text)) AS n_distinct_sha
             FROM documents GROUP BY source
         """,
+        "q29_ner_lookback": _ner_lookback_oracle(),
     }

@@ -142,6 +142,23 @@ def test_ivf_recall_on_testdata(spark, sf_dir):
     assert approx == approx2
 
 
+def test_lsh_neardup_recall_on_testdata(spark, sf_dir):
+    """The bucket-restricted near-dup scale path must recover most of
+    the exact brute-force pairs at a high-similarity threshold (a true
+    near-dup's sign bits agree in some table with high probability);
+    precision is exact by construction (pairs are cosine-verified)."""
+    from casie_spark.operators.similarity import lsh_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in embedding_neardup(emb, threshold=0.7).collect()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in lsh_neardup(emb, threshold=0.7).collect()}
+    assert approx <= exact  # verified pairs: subset of the exact set
+    recall = len(exact & approx) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"lsh_neardup recall {recall:.2f} too low"
+
+
 def test_hyperplane_determinism():
     assert hyperplane(0) == hyperplane(0)
     assert hyperplane(0) != hyperplane(1)

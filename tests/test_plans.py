@@ -70,10 +70,12 @@ def test_pipeline_single_token_shuffle(spark):
 
 
 def test_model_pipeline_single_token_shuffle(spark):
-    """Same invariant for mode='model': the mapInPandas inference stage
-    and the dominant-trigger window must ride the one explicit doc_id
-    exchange — in particular no groupBy+join-back histogram (which
-    would add an exchange AND broadcast a per-doc frame)."""
+    """Same invariant for mode='model': the scalar-pandas_udf inference
+    expression preserves attribute ids, so the context lag/lead, the
+    inference, the BIO assembly and the dominant-trigger window all
+    ride the one explicit doc_id exchange — in particular no
+    groupBy+join-back histogram (which would add an exchange AND
+    broadcast a per-doc frame)."""
     from casie_spark.operators.model_tagger import tag_model
     from casie_spark.operators.rules import apply_rules
     from casie_spark.operators.tokenizer import tokenize
@@ -82,8 +84,10 @@ def test_model_pipeline_single_token_shuffle(spark):
         [(f"u{i}", f"Hackers stole data on CVE-2019-000{i} last week.")
          for i in range(10)],
         "url string, text string")
-    toks = tokenize(docs, id_col="url")
-    tagged = apply_rules(tag_model(toks))  # tag_model owns the exchange
+    # the pipeline's model path: tokenizer emits sentence context so
+    # inference runs pre-exchange; tag_model owns the one repartition
+    toks = tokenize(docs, id_col="url", context=True)
+    tagged = apply_rules(tag_model(toks))
     plan = _plan(tagged)
     doc_exchanges = [
         ln for ln in plan.splitlines()

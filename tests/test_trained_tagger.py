@@ -1,0 +1,45 @@
+"""Quality gate for the trained tagger (VERDICT r1 #1): mention-level
+Dice F1 on the full 1,000-article CASIE corpus must beat the rule
+floor decisively.  Round-1 model-free floor: nugget F1 0.243; trained
+artifact: nugget ~0.74 / argument ~0.75 (BASELINE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from casie_spark.operators.model_tagger import (
+    ARTIFACT_PATH,
+    _CTX_KEYS,
+    load_weights,
+)
+
+
+def test_artifact_present_and_well_formed():
+    w = load_weights(ARTIFACT_PATH)
+    assert w.trig_ctx is not None, "trained artifact missing"
+    for k in _CTX_KEYS:
+        assert k in w.trig_ctx and k in w.arg_ctx
+        assert np.isfinite(w.trig_ctx[k]).all()
+    assert w.trigger_labels[0] == "O" and w.arg_labels[0] == "O"
+    assert len(w.arg_labels) == 22  # full gold argument inventory
+
+
+def test_trained_tagger_beats_rule_floor(spark):
+    from casie_spark.operators.train_tagger import evaluate
+
+    m = evaluate(spark, "model")
+    assert m["nugget"]["f1"] >= 0.6, m["nugget"]
+    assert m["argument"]["f1"] >= 0.6, m["argument"]
+    # the model must over-predict mentions by at most ~2x gold
+    assert m["nugget"]["n_pred"] <= 2 * m["nugget"]["n_gold"], m["nugget"]
+
+
+def test_score_deterministic_across_calls():
+    """Same inputs -> identical label indices (broadcast replay)."""
+    w = load_weights(ARTIFACT_PATH)
+    toks = ["Hackers", "stole", "records", "from", "Equifax", "."]
+    prevs = [None] + toks[:-1]
+    nexts = toks[1:] + [None]
+    a = w.score(toks, prevs, nexts)
+    b = w.score(toks, prevs, nexts)
+    assert (a[0] == b[0]).all() and (a[1] == b[1]).all()

@@ -107,6 +107,41 @@ def test_parsetree_chunks_match_reference(ref):
     assert sorted(r_dvp) == sorted(m_dvp)
 
 
+def test_select_sub_s_matches_reference(ref):
+    """selectSubS/subtree differential: subordinate S clauses without
+    an NP child, comma-split, quirks included (the 'S_@_' substring
+    abort, preterminal-vs-leaf comma collection)."""
+    from casie_spark.operators.trees import select_sub_s, subtree_tokens
+
+    cfp = ("(ROOT (S (NP (DT The) (NN hacker)) "
+           "(VP (VBD stole) (NN data)) "
+           "(S (VP (VBG escaping) (, ,) (RB quickly)))))")
+    words = ["The", "hacker", "stole", "data", "escaping", ",", "quickly"]
+    toks = [{"originalText": w, "index": i + 1} for i, w in enumerate(words)]
+
+    theirs = ref.selectSubS(ref.build_parsetree(cfp, toks), toks)
+    mine = select_sub_s(build_parsetree(cfp), words)
+    strip = lambda run: [x.split("_@_")[0] for x in run]  # noqa: E731
+    assert [strip(r) for r in theirs] == [strip(r) for r in mine]
+    assert [strip(r) for r in mine] == [["escaping"], ["quickly"]]
+
+    # NNS label triggers the substring-S abort in BOTH implementations
+    cfp2 = ("(ROOT (S (NP (DT a)) (VP (VBD hit) "
+            "(S (VP (VBG running) (NP (NNS dogs) (NN fast)))))))")
+    words2 = ["a", "hit", "running", "dogs", "fast"]
+    toks2 = [{"originalText": w, "index": i + 1} for i, w in enumerate(words2)]
+    rtree = ref.build_parsetree(cfp2, toks2)
+    mtree = build_parsetree(cfp2)
+    rS = [n for n in rtree if n.split("_@_")[0] == "S"
+          and n.split("_@_")[-1] != "1"]
+    mS = [n for n in mtree if n.split("_@_")[0] == "S"
+          and n.split("_@_")[-1] != "1"]
+    assert len(rS) == len(mS) == 1
+    got_r = strip(ref.subtree(rS[0], rtree, words2, []))
+    got_m = strip(subtree_tokens(mtree, mS[0], words2))
+    assert got_r == got_m
+
+
 def test_nearest_verb_matches_reference(ref):
     mine = build_deptree(EDGES)
     theirs = ref.build_deptree(_enh(EDGES))
