@@ -340,18 +340,22 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
     w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
     same_sent = F.lag("sent_id", 1, -1).over(w) == F.col("sent_id")
     prev = F.when(same_sent, F.lag(low, 1, "").over(w)).otherwise(F.lit(""))
-    is_money = F.col("token").rlike(r"^\$\d") | (
+    # cheap scalar gates ahead of every regex (see ner.raw_ner note)
+    tokc = F.col("token")
+    has_digit = tokc != F.translate(tokc, "0123456789", "")
+    is_money = (tokc.startswith("$") & tokc.rlike(r"^\$\d")) | (
         low.isin("million", "billion", "thousand")
         & same_sent
-        & F.lag(F.col("token"), 1, "").over(w).rlike(r"^\$?\d")
+        & F.lag(tokc, 1, "").over(w).rlike(r"^\$?\d")
     )
-    is_number = F.col("token").rlike(r"^\d[\d,]*$") & ~prev.rlike(r"^(cve|v)$")
-    is_year = F.col("token").rlike(r"^(19|20)\d\d$")
+    is_number = (has_digit & tokc.rlike(r"^\d[\d,]*$")
+                 & ~prev.isin("cve", "v"))
+    is_year = has_digit & tokc.rlike(r"^(19|20)\d\d$")
 
     arg_type = (
-        F.when(is_cve_token(F.col("token")), "CVE")
-        .when(is_version_token(F.col("token")) & ~F.col("token").rlike(r"^\d+$"),
-              "Version")
+        F.when(tokc.startswith("CVE-") & is_cve_token(tokc), "CVE")
+        .when(has_digit & is_version_token(tokc)
+              & ~tokc.rlike(r"^\d+$"), "Version")
         .when(is_money, "Money")
         .when(is_year, "Time")
         .when(F.col("_m_arg") != "O", F.col("_m_arg"))

@@ -84,14 +84,23 @@ def raw_ner(tokens: DataFrame) -> DataFrame:
     low = F.lower(tok)
     weekdays = ["monday", "tuesday", "wednesday", "thursday", "friday",
                 "saturday", "sunday"]
+    # every regex is gated behind a cheap scalar test (startswith /
+    # contains / translate char-scan) so the typical all-letters token
+    # evaluates ZERO regexes — ungated, this chain ran ~8 regex
+    # matches on every one of the stream's tokens and cost ~40%
+    # pipeline throughput (gates don't change semantics: each gate is
+    # implied by its regex)
+    has_digit = tok != F.translate(tok, "0123456789", "")
     raw = (
-        F.when(is_cve_token(tok), "CVE")
-        .when(tok.rlike(r"^https?://") | tok.rlike(r"^www\."), "URL")
-        .when(tok.rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"), "EMAIL")
-        .when(tok.rlike(r"^\$\d"), "MONEY")
-        .when(low.isin(_MONTHS + weekdays) | tok.rlike(r"^(19|20)\d\d$"),
-              "DATE")
-        .when(tok.rlike(r"^\d[\d,]*$"), "NUMBER")
+        F.when(tok.startswith("CVE-") & is_cve_token(tok), "CVE")
+        .when((tok.startswith("http") & tok.rlike(r"^https?://"))
+              | tok.startswith("www."), "URL")
+        .when(tok.contains("@")
+              & tok.rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"), "EMAIL")
+        .when(tok.startswith("$") & tok.rlike(r"^\$\d"), "MONEY")
+        .when(low.isin(_MONTHS + weekdays)
+              | (has_digit & tok.rlike(r"^(19|20)\d\d$")), "DATE")
+        .when(has_digit & tok.rlike(r"^\d[\d,]*$"), "NUMBER")
         .when(low.isin(_VENDOR_GAZ), "ORGANIZATION")
         .when(low.isin(_SYSTEM_GAZ), "SOFTWARE")
         .when(low.isin(_PERSON_GAZ), "PERSON")
@@ -102,47 +111,71 @@ def raw_ner(tokens: DataFrame) -> DataFrame:
 
 def encode_ner(tokens: DataFrame, raw_col: str = "_ner_raw") -> DataFrame:
     """``combineNe_st`` as window expressions: whitelist filter (P3),
-    BIO encoding, and the version context rules -> ``ner`` column."""
+    BIO encoding, and the version context rules -> ``ner`` column.
+
+    Perf shape: every non-trivial per-row expression (whitelist
+    membership, title case, version regex, capitalization tests) is
+    materialized as a cheap boolean/string COLUMN in a codegen'd
+    projection first; the window pass then only lags/leads those
+    columns.  WindowExec evaluates its input expressions interpreted,
+    per row, per expression — feeding it the raw string machinery
+    directly cost ~2x this stage's runtime."""
     raw = F.col(raw_col)
+    tok = F.col("token")
+
+    def _is_upper(first_char: Column) -> Column:
+        return (first_char >= "A") & (first_char <= "Z")
 
     # pass 1 — whitelist + BIO.  The reference compares the current
     # RAW type against the previous token's already-encoded tag
     # stripped of its prefix; since encoding happens in order, that is
     # exactly "previous raw type equal (case-insensitive) and kept by
     # the whitelist".  First token of a sentence is always B-.
-    kept = raw != "O"
-    for_wl = kept & raw.isin(config.NER_WHITELIST)
-    title = F.concat(F.upper(F.substring(raw, 1, 1)),
-                     F.lower(F.substring(raw, 2, 1000)))
-    prev_raw = F.lag(raw, 1).over(_w_sent())
-    prev_kept = prev_raw.isNotNull() & (prev_raw != "O") \
-        & prev_raw.isin(config.NER_WHITELIST)
-    cont = prev_kept & (F.lower(prev_raw) == F.lower(raw))
+    _has_digit = tok != F.translate(tok, "0123456789", "")
+    df = (
+        tokens
+        .withColumn("_wl", (raw != "O") & raw.isin(config.NER_WHITELIST))
+        .withColumn("_title", F.concat(F.upper(F.substring(raw, 1, 1)),
+                                       F.lower(F.substring(raw, 2, 1000))))
+        .withColumn("_rawlow", F.lower(raw))
+        # pass-2 inputs, precomputed here so the same projection
+        # carries them (regex gated behind a digit char-scan;
+        # re.match = anchored prefix)
+        .withColumn("_isver", _has_digit & tok.rlike(r"^v*\d+\.\d+"))
+        .withColumn("_bv", F.lower(tok).startswith("ver"))
+        .withColumn("_cap", _is_upper(F.substring(tok, 1, 1)))
+    )
+    prev_wl = F.lag("_wl", 1, False).over(_w_sent())
+    prev_rawlow = F.lag("_rawlow", 1).over(_w_sent())
+    cont = prev_wl & prev_rawlow.eqNullSafe(F.col("_rawlow"))
     pass1 = (
-        F.when(for_wl & cont, F.concat(F.lit("I-"), title))
-        .when(for_wl, F.concat(F.lit("B-"), title))
+        F.when(F.col("_wl") & cont, F.concat(F.lit("I-"), F.col("_title")))
+        .when(F.col("_wl"), F.concat(F.lit("B-"), F.col("_title")))
         .otherwise(F.lit("O"))
     )
-    df = tokens.withColumn("_ner1", pass1)
+    # _wl/_title/_rawlow are consumed by pass1; drop them here so they
+    # don't flow through the pass-2 window buffers
+    df = df.withColumn("_ner1", pass1).drop("_wl", "_title", "_rawlow")
+
+    # pass-2 self predicates over the encoded tag, again as columns
+    df = (
+        df.withColumn("_nt", F.lower(F.substring(F.col("_ner1"), 3, 1000)))
+        .withColumn("_av", F.col("_nt").isin("software", "system"))
+        .withColumn("_cv", (F.col("_ner1") == "O") & F.col("_cap"))
+        .drop("_cap")
+    )
 
     # pass 2 — version context rules (:185-198).  tokens[x-1] at x=0
     # wraps to the sentence's LAST token (reference negative-indexing
     # quirk), so "previous" is lag-or-wraparound.
-    def prev_of(col: Column, last_expr: Column) -> Column:
-        return F.coalesce(F.lag(col, 1).over(_w_sent()), last_expr)
+    def prev_of(name: str) -> Column:
+        return F.coalesce(F.lag(name, 1).over(_w_sent()),
+                          F.last(name).over(_w_sent_all()))
 
-    tok = F.col("token")
-    is_ver = tok.rlike(r"^v*\d+\.\d+")  # re.match = anchored prefix
-    ner1_type = F.lower(F.substring(F.col("_ner1"), 3, 1000))
-    last_tok = F.last(tok).over(_w_sent_all())
-    last_ner1 = F.last(F.col("_ner1")).over(_w_sent_all())
-    prev_tok = prev_of(tok, last_tok)
-    prev_ner1 = prev_of(F.col("_ner1"), last_ner1)
-    prev_type = F.lower(F.substring(prev_ner1, 3, 1000))
-
-    a_prev = prev_type.isin("software", "system")
-    b_prev = F.lower(prev_tok).startswith("ver")
-    c_prev = (prev_ner1 == "O") & F.substring(prev_tok, 1, 1).rlike("[A-Z]")
+    is_ver = F.col("_isver")
+    a_prev = prev_of("_av")
+    b_prev = prev_of("_bv")
+    c_prev = prev_of("_cv")
     self2 = (
         F.when(is_ver & a_prev, "B-Version")
         .when(is_ver & b_prev, "I-Version")
@@ -151,21 +184,19 @@ def encode_ner(tokens: DataFrame, raw_col: str = "_ner_raw") -> DataFrame:
 
     # retro writes: the NEXT token's rule (b)/(c) firing rewrites THIS
     # token; last write wins over this token's own pass-2 value
-    nxt_is_ver = F.lead(is_ver, 1, False).over(_w_sent())
-    a_self = ner1_type.isin("software", "system")
-    b_self = F.lower(tok).startswith("ver")
-    c_self = (F.col("_ner1") == "O") & F.substring(tok, 1, 1).rlike("[A-Z]")
+    nxt_is_ver = F.lead("_isver", 1, False).over(_w_sent())
     retro = (
-        F.when(nxt_is_ver & ~a_self & b_self, "B-Version")
-        .when(nxt_is_ver & ~a_self & ~b_self & c_self, "B-Software")
+        F.when(nxt_is_ver & ~F.col("_av") & F.col("_bv"), "B-Version")
+        .when(nxt_is_ver & ~F.col("_av") & ~F.col("_bv") & F.col("_cv"),
+              "B-Software")
     )
 
     # number-after-software fix (:197-198); runs after the elif chain,
     # so it beats self2 but loses to a retro write from the next token
-    numfix = F.when(a_prev & (ner1_type == "number"), "B-Version")
+    numfix = F.when(a_prev & (F.col("_nt") == "number"), "B-Version")
 
     df = df.withColumn("ner", F.coalesce(retro, numfix, self2, F.col("_ner1")))
-    return df.drop("_ner1")
+    return df.drop("_ner1", "_isver", "_bv", "_nt", "_av", "_cv")
 
 
 def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
@@ -204,13 +235,34 @@ def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
     pos_key = (F.col("sent_id").cast("long") * (1 << 27)
                + ((1 << 20) - 1 - tid) * (1 << 7))
 
-    # noun classification first: case-sensitive raw-token membership,
-    # first matching gazetteer wins (if/elif order).  Each noun list
-    # appears in the plan exactly ONCE — membership flags land in their
-    # own projection and CollapseProject does not inline non-cheap
-    # expressions, which keeps the logical-plan string linear in the
-    # gazetteer size instead of quadratic (plan-growth guard).
+    # one pre-window projection computing ONE packed LONG key per
+    # compatibility group (null off-group), then one Window node with
+    # the five running maxes over those longs.  Two perf rules at
+    # work: (a) WindowExec evaluates its input expressions interpreted
+    # per row, so keys must be precomputed codegen-side; (b) WindowExec
+    # buffers whole partitions, so every byte flowing THROUGH it costs
+    # memory bandwidth — the noun-classification columns are computed
+    # AFTER the windows (they don't feed them), and the key columns are
+    # dropped right above.  The first formulation (strings + per-key
+    # machinery through the buffer) cost ~2x this stage.
     tok = F.col("token")
+    df = tokens
+    for gname, _nouns, group_types in _COMPAT_GROUPS:
+        df = df.withColumn(
+            f"_k_{gname}",
+            F.when(code.isNotNull() & ner_type.isin(group_types),
+                   pos_key + code),
+        )
+    for gname, _nouns, _t in _COMPAT_GROUPS:
+        df = df.withColumn(f"_best_{gname}",
+                           F.max(f"_k_{gname}").over(wr))
+    df = df.drop(*[f"_k_{g}" for g, _, _ in _COMPAT_GROUPS])
+
+    # noun classification (post-window): case-sensitive raw-token
+    # membership, first matching gazetteer wins (if/elif order).  Each
+    # noun list appears in the plan exactly ONCE — membership flags
+    # land in their own projection and CollapseProject does not inline
+    # non-cheap expressions (plan-growth guard).
     grp = None
     for gname, nouns, _ in _COMPAT_GROUPS:
         c = tok.isin(sorted(set(nouns)))
@@ -223,14 +275,7 @@ def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
         if singular_noun(w) is not False
     })
     plural = tok.isin(plural_forms) if plural_forms else F.lit(False)
-    df = tokens.withColumn("_nngrp", grp).withColumn("_nnplural", plural)
-
-    # one max-window per compatibility group, materialized as real
-    # columns so later expressions reference attributes, not copies
-    for gname, _nouns, group_types in _COMPAT_GROUPS:
-        in_group = ner_type.isin(group_types)
-        key = F.when(code.isNotNull() & in_group, pos_key + code)
-        df = df.withColumn(f"_best_{gname}", F.max(key).over(wr))
+    df = df.withColumn("_nngrp", grp).withColumn("_nnplural", plural)
 
     # decode a packed key back to the full BIO string
     def decode(best: Column) -> Column:
@@ -253,8 +298,53 @@ def lookback_ner(tokens: DataFrame, ner_col: str = "ner") -> DataFrame:
         (ner == "O") & ~F.col("_nnplural") & inherited.isNotNull(), inherited
     ).otherwise(ner)
     return df.withColumn(ner_col, out).drop(
-        "_nngrp", "_nnplural", *[f"_best_{g}" for g, _, _ in _COMPAT_GROUPS]
+        "_nngrp", "_nnplural", "_lb_code", "_lb_pos", "_lb_nt",
+        *[f"_best_{g}" for g, _, _ in _COMPAT_GROUPS]
     )
+
+
+def combine_external_ner(tokens: DataFrame,
+                         wk1: DataFrame | None = None,
+                         wk2: DataFrame | None = None,
+                         casie: DataFrame | None = None,
+                         dbp: DataFrame | None = None) -> DataFrame:
+    """J3: external-KB NER columns (``combineExtNe``,
+    parseJsontoFeatures.py:232-256).  Each source is an annotation
+    table (doc_id, begin, token, ne) matched on exact character offset
+    AND surface — a plain equi-join on (doc_id, begin, token); AQE
+    broadcasts curated doc-scale tables and shuffle-joins crawl-scale
+    ones.
+
+    Column mapping preserves the reference's naming (wk1->``finerner``,
+    wk2->``finerner2``, casie->``wk_ner``, dbp->``db_ner``) and its
+    default quirk: finerner/wk_ner/db_ner default to 'O' but
+    ``finerner2`` is only set on a match (null otherwise — the
+    reference never initializes that key)."""
+    specs = [("finerner", wk1, "O"), ("finerner2", wk2, None),
+             ("wk_ner", casie, "O"), ("db_ner", dbp, "O")]
+    df = tokens
+    for name, kb, default in specs:
+        if kb is None:
+            df = df.withColumn(name, F.lit(default).cast("string"))
+            continue
+        k = kb.select(
+            F.col("doc_id").alias("_k_doc"),
+            F.col("begin").alias("_k_begin"),
+            F.col("token").alias("_k_tok"),
+            F.col("ne").alias(f"_k_{name}"),
+        ).dropDuplicates(["_k_doc", "_k_begin", "_k_tok"])
+        df = df.join(
+            k,
+            (F.col("doc_id") == F.col("_k_doc"))
+            & (F.col("begin") == F.col("_k_begin"))
+            & (F.col("token") == F.col("_k_tok")),
+            "left",
+        ).drop("_k_doc", "_k_begin", "_k_tok")
+        col = F.col(f"_k_{name}")
+        df = df.withColumn(
+            name, col if default is None else F.coalesce(col, F.lit(default))
+        ).drop(f"_k_{name}")
+    return df
 
 
 def with_ner(tokens: DataFrame) -> DataFrame:

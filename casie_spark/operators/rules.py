@@ -148,6 +148,42 @@ def apply_forced_triggers(tagged: DataFrame) -> DataFrame:
                    *[f"_pick{p}" for p, *_ in FORCED_RULES])
 
 
+def sentence_event_scores(tagged: DataFrame) -> DataFrame:
+    """A3: per-sentence event-type score from argument compatibility
+    (``score``, reference link_coref.py:925-939): for each event type,
+    the number of argument mentions in the sentence whose entity type
+    the Pair table admits; plus ``needs_noun`` — True when no
+    Person/Organization argument is present (the reference's NeedVerb
+    check deciding whether noun triggers are acceptable).
+
+    Returns (doc_id, sent_id, eventtype, score, needs_noun), one row
+    per event type with score > 0 (the reference keeps only those in
+    ``event_w_score_arg``).  Shape: span assembly (windows on the
+    existing doc_id partitioning) + a ~100-row broadcast Pair join +
+    one sentence-level aggregation."""
+    from .. import config
+    from .spans import assemble_spans
+
+    spark = tagged.sparkSession
+    spans = assemble_spans(tagged, "arg_tag").select(
+        "doc_id", "sent_id", "label")
+    pair = spark.createDataFrame(
+        [(sub, a) for sub, args_ in config.PAIR.items()
+         for a in sorted(set(args_))],
+        "eventtype string, label string",
+    )
+    scores = (
+        spans.join(F.broadcast(pair), "label")
+        .groupBy("doc_id", "sent_id", "eventtype")
+        .agg(F.count("*").alias("score"))
+    )
+    need = spans.groupBy("doc_id", "sent_id").agg(
+        (~F.max(F.col("label").isin("Person", "Organization")))
+        .alias("needs_noun")
+    )
+    return scores.join(need, ["doc_id", "sent_id"])
+
+
 def apply_compatibility_sweep(tagged: DataFrame) -> DataFrame:
     """R5 (compatible, link_coref.py:1128-1187): clear argument tags of
     sentences whose +/-1-sentence neighborhood holds no trigger.

@@ -89,12 +89,16 @@ def _ner_arg():
 
 def _stem(col):
     """Light suffix stem so lexicon matches inflections the reference
-    reaches via word2vec similarity (link_coref.py:254-283)."""
+    reaches via word2vec similarity (link_coref.py:254-283).
+    endswith/length/substr only — the regex form cost 3 regex matches
+    on every token of the stream."""
     c = F.lower(col)
+    n = F.length(c)
     return (
-        F.when(c.rlike("^.{4,}ing$"), F.regexp_replace(c, "ing$", ""))
-        .when(c.rlike("^.{4,}ed$"), F.regexp_replace(c, "ed$", ""))
-        .when(c.rlike("^.{4,}s$") & ~c.rlike("ss$"), F.regexp_replace(c, "s$", ""))
+        F.when(c.endswith("ing") & (n > 6), c.substr(F.lit(1), n - 3))
+        .when(c.endswith("ed") & (n > 5), c.substr(F.lit(1), n - 2))
+        .when(c.endswith("s") & ~c.endswith("ss") & (n > 4),
+              c.substr(F.lit(1), n - 1))
         .otherwise(c)
     )
 
@@ -228,17 +232,23 @@ def tag_rules(tokens: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
     same_sent = F.lag("sent_id", 1, -1).over(w) == F.col("sent_id")
     prev = F.when(same_sent, F.lag(low, 1, "").over(w)).otherwise(F.lit(""))
-    is_money = F.col("token").rlike(r"^\$\d") | (
+    # cheap scalar gates ahead of every regex (see ner.raw_ner note):
+    # the typical all-letters token must evaluate zero regexes
+    tokc = F.col("token")
+    has_digit = tokc != F.translate(tokc, "0123456789", "")
+    is_money = (tokc.startswith("$") & tokc.rlike(r"^\$\d")) | (
         low.isin("million", "billion", "thousand")
         & same_sent
-        & F.lag(F.col("token"), 1, "").over(w).rlike(r"^\$?\d")
+        & F.lag(tokc, 1, "").over(w).rlike(r"^\$?\d")
     )
-    is_number = F.col("token").rlike(r"^\d[\d,]*$") & ~prev.rlike(r"^(cve|v)$")
-    is_year = F.col("token").rlike(r"^(19|20)\d\d$")
+    is_number = (has_digit & tokc.rlike(r"^\d[\d,]*$")
+                 & ~prev.isin("cve", "v"))
+    is_year = has_digit & tokc.rlike(r"^(19|20)\d\d$")
 
     arg = (
-        F.when(is_cve_token(F.col("token")), "CVE")
-        .when(is_version_token(F.col("token")) & ~F.col("token").rlike(r"^\d+$"), "Version")
+        F.when(tokc.startswith("CVE-") & is_cve_token(tokc), "CVE")
+        .when(has_digit & is_version_token(tokc)
+              & ~tokc.rlike(r"^\d+$"), "Version")
         .when(is_money, "Money")
         .when(low.isin(_TIME_WORDS) | is_year, "Time")
         .when(low.isin(_MALWARE_GAZ), "Malware")

@@ -76,6 +76,10 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
             )
     else:
         toks = tokenize(docs, id_col=id_col, context=ctx)
+    # `end` is begin + len(token) by tokenizer construction; span
+    # assembly recomputes it, so it need not ride the ~15 window/sort
+    # buffer passes of the tagging DAG (see assemble_spans)
+    toks = toks.drop("end")
     if mode != "model":
         toks = toks.repartition(F.col("doc_id"))
     # toks has a SINGLE consumer (the tagging stage — histogram and

@@ -537,8 +537,9 @@ def q26_canonical_graph(spark, sf_dir):
 
 
 def q27_model_inference(spark, sf_dir):
-    """Broadcast-weight mapInPandas tagging (operators.model_tagger) ->
-    triples per subtype; exercises the M1/M2 inference harness."""
+    """Broadcast-weight pandas_udf tagging (operators.model_tagger,
+    trained artifact) -> triples per subtype; exercises the M1/M2
+    inference harness."""
     from .pipeline import run_pipeline
     from .sources.documents import synth_documents
 

@@ -96,3 +96,74 @@ def mention_dice_f1(pred_spans: DataFrame, gold_spans: DataFrame) -> dict:
     f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
     return {"dice_sum": dice, "n_gold": n_gold, "n_pred": n_pred,
             "precision": precision, "recall": recall, "f1": f1}
+
+
+def bag_intersect(words1: list[str], words2: list[str]) -> int:
+    """F15 exact: the reference's ``intersect`` multiset overlap
+    (score.py:72-103) — scan the longer list, removing each matched
+    word from a copy of the shorter; the count is how many were
+    removed.  Ports the exact remove-first semantics (duplicates
+    consume one occurrence each)."""
+    if len(words1) >= len(words2):
+        longer, shorter = words1, list(words2)
+    else:
+        longer, shorter = words2, list(words1)
+    oldlen = len(shorter)
+    for x in longer:
+        if x in shorter:
+            shorter.remove(x)
+    return oldlen - len(shorter)
+
+
+def mention_dice_f1_exact(pred_spans: DataFrame,
+                          gold_spans: DataFrame) -> dict:
+    """A6/F15 exact form: the reference's sequential greedy matching
+    (score.py:198-217) — per gold span in order, the same-label
+    predicted span of that (doc, sent) with MAXIMUM multiset overlap
+    (first index on ties, strict ``>``) is consumed and removed from
+    the pool — with ``bag_intersect`` overlap, replayed bit-for-bit.
+
+    Distribution note: the matching is inherently sequential but only
+    WITHIN a (doc, sent, label) group, which holds a handful of spans;
+    ``applyInPandas`` over those groups keeps the scorer distributed
+    while the loop stays bounded.  ``mention_dice_f1`` is the
+    window-only approximation (one-to-one rank pairing) for when a
+    pure-JVM plan matters more than tie-order fidelity."""
+    import pandas as pd
+
+    g = gold_spans.select(
+        "doc_id", "sent_id", "label", "begin",
+        F.col("text").alias("g_text"), F.lit("g").alias("side"))
+    p = pred_spans.select(
+        "doc_id", "sent_id", "label", "begin",
+        F.col("text").alias("g_text"), F.lit("p").alias("side"))
+    both = g.unionByName(p)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        golds = pdf[pdf["side"] == "g"].sort_values("begin")
+        preds = list(pdf[pdf["side"] == "p"].sort_values("begin")["g_text"])
+        dices = []
+        for gt in golds["g_text"]:
+            gw = str(gt).split()
+            maxred, redidx = -1, 0
+            for idx, pt in enumerate(preds):
+                red = bag_intersect(str(pt).split(), gw)
+                if red > maxred:
+                    maxred, redidx = red, idx
+            if maxred > 0:
+                ts = len(str(preds[redidx]).split())
+                del preds[redidx]
+                dices.append(2.0 * maxred / (len(gw) + ts))
+        return pd.DataFrame({"dice": dices}) if dices else \
+            pd.DataFrame({"dice": pd.Series(dtype="float64")})
+
+    matched = both.groupBy("doc_id", "sent_id", "label").applyInPandas(
+        match, schema="dice double")
+    dice = (matched.agg(F.sum("dice").alias("s")).first()["s"]) or 0.0
+    n_gold = gold_spans.count()
+    n_pred = pred_spans.count()
+    precision = dice / n_pred if n_pred else 0.0
+    recall = dice / n_gold if n_gold else 0.0
+    f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
+    return {"dice_sum": dice, "n_gold": n_gold, "n_pred": n_pred,
+            "precision": precision, "recall": recall, "f1": f1}

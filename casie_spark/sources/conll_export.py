@@ -71,6 +71,28 @@ def write_conll(tagged: DataFrame, path: str, markers: bool = True) -> None:
      .write.mode("overwrite").text(path))
 
 
+def read_conll(spark, path: str) -> DataFrame:
+    """S4: label-file scan — the exported token-per-line TSV back into
+    a token frame (doc_id, token, begin, tag).  The reference's
+    ``readPredicted`` (link_coref.py:570-658) walks the file
+    sequentially, re-keying on the fname column; here every body line
+    already carries its fname, so the parse is embarrassingly parallel
+    (no order dependence, marker lines simply filtered out) — the scan
+    scales with input splits like any other source."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        lines.filter(~F.col("value").startswith("#")
+                     & (F.size(parts) == 4))
+        .select(
+            parts[0].alias("doc_id"),
+            parts[1].alias("token"),
+            parts[2].cast("long").alias("begin"),
+            parts[3].alias("tag"),
+        )
+    )
+
+
 def conll_string(tagged: DataFrame, markers: bool = True) -> str:
     """Driver-side single-string export (reference-file interop for
     bounded corpora; not a crawl-scale path)."""

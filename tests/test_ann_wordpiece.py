@@ -69,3 +69,33 @@ def test_ann_export_roundtrip(spark, tmp_path):
     assert n == 5
     files = list((tmp_path / "ann").glob("*.ann"))
     assert len(files) == 5 and files[0].read_text().strip()
+
+
+def test_bert_tag_harness(spark):
+    """M3 harness: sentence batching -> stub pieces/encoder -> J9
+    alignment -> head argmax; one deterministic label per token."""
+    from casie_spark.operators.bert_tagger import (
+        bert_tag,
+        fake_bert_encoder,
+        fake_wordpieces,
+    )
+
+    assert fake_wordpieces("breach") == ["breach"]
+    assert fake_wordpieces("cybersecurity") == ["cybers", "##ecurit", "##y"]
+    v1 = fake_bert_encoder(["breach"])
+    v2 = fake_bert_encoder(["breach"])
+    assert v1.shape == (1, 768) and (v1 == v2).all()
+
+    toks = spark.createDataFrame(
+        [(1, 0, 0, "Attackers"), (1, 0, 1, "breached"),
+         (1, 0, 2, "cybersecurity"), (1, 1, 0, "Patched")],
+        "doc_id long, sent_id int, token_id int, token string")
+    out = bert_tag(toks)
+    rows = {(r["sent_id"], r["token_id"]): r for r in out.collect()}
+    assert len(rows) == 4  # one row per token, multi-piece merged
+    from casie_spark.operators.bert_tagger import BERT_LABELS
+    assert all(r["bert_tag"] in BERT_LABELS for r in rows.values())
+    # determinism across invocations
+    again = {(r["sent_id"], r["token_id"]): r["bert_tag"]
+             for r in bert_tag(toks).collect()}
+    assert {k: r["bert_tag"] for k, r in rows.items()} == again

@@ -3,7 +3,11 @@ allfileoutput/to_one_file_each (link_coref.py:1691-1767)."""
 
 from __future__ import annotations
 
-from casie_spark.sources.conll_export import conll_string, write_conll
+from casie_spark.sources.conll_export import (
+    conll_string,
+    read_conll,
+    write_conll,
+)
 
 
 def _tagged(spark):
@@ -44,3 +48,10 @@ def test_conll_plain_format_and_write(spark, tmp_path):
     write_conll(_tagged(spark), out)
     back = spark.read.text(out)
     assert back.count() == 4 + 3 * 2  # tokens + 3 marker lines per doc
+
+    # S4 round trip: the label-file scan recovers every token row
+    rows = {(r["doc_id"], r["begin"]): (r["token"], r["tag"])
+            for r in read_conll(spark, out).collect()}
+    assert rows[("doc1", 8)] == ("stole", "B-Databreach")
+    assert rows[("doc2", 0)] == ("Patched", "B-PatchVulnerability")
+    assert len(rows) == 4

@@ -153,6 +153,27 @@ def test_with_ner_feeds_argument_recall(spark):
     assert "ner" in tagged.columns
 
 
+def test_combine_external_ner_joins(spark):
+    """J3 (combineExtNe): exact (offset, surface) match per source;
+    finerner2 stays null when unmatched (the reference never
+    initializes that key), the other three default to 'O'."""
+    from casie_spark.operators.ner import combine_external_ner
+
+    toks = spark.createDataFrame(
+        [(1, 0, 0, "Microsoft", 0), (1, 0, 1, "patched", 10)],
+        "doc_id long, sent_id int, token_id int, token string, begin long")
+    wk1 = spark.createDataFrame(
+        [(1, 0, "Microsoft", "B-Organization"),
+         (1, 99, "Microsoft", "B-Wrong")],  # offset mismatch ignored
+        "doc_id long, begin long, token string, ne string")
+    out = {r["token"]: r for r in
+           combine_external_ner(toks, wk1=wk1).collect()}
+    assert out["Microsoft"]["finerner"] == "B-Organization"
+    assert out["patched"]["finerner"] == "O"
+    assert out["Microsoft"]["finerner2"] is None
+    assert out["Microsoft"]["wk_ner"] == "O" and out["patched"]["db_ner"] == "O"
+
+
 def test_ner_stage_keeps_single_token_shuffle(spark):
     """The whole derived-NER stage (raw + encode + look-back) rides the
     one explicit doc_id exchange."""

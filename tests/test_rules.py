@@ -68,3 +68,26 @@ def test_compatibility_sweep_clears_orphan_args(spark):
     got = {(r["sent_id"], r["arg_tag"]) for r in out.collect()}
     assert (1, "B-Data") in got
     assert (5, "O") in got
+
+
+def test_sentence_event_scores(spark):
+    """A3 (link_coref.py:925-939): Pair-compatible argument counts per
+    event type; needs_noun = no Person/Organization argument."""
+    from casie_spark.operators.rules import sentence_event_scores
+
+    rows = [
+        # sent 0: Data + PII args -> Databreach score 2 (both legal),
+        # no Person/Org -> needs_noun True
+        _tok("d", 0, 0, "records", "O", "B-Data"),
+        _tok("d", 0, 1, "ssn", "O", "B-PII"),
+        # sent 1: Person arg -> needs_noun False
+        _tok("d", 1, 0, "hackers", "O", "B-Person"),
+    ]
+    out = {(r["sent_id"], r["eventtype"]): (r["score"], r["needs_noun"])
+           for r in sentence_event_scores(
+               spark.createDataFrame(rows, SCHEMA)).collect()}
+    assert out[(0, "Databreach")][0] == 2
+    assert out[(0, "Databreach")][1] is True
+    assert out[(1, "Phishing")][1] is False  # Person present
+    # every returned row has positive score (event_w_score_arg)
+    assert all(s > 0 for s, _ in out.values())

@@ -93,6 +93,61 @@ def test_mention_dice_hand_computed(spark):
     assert got["recall"] == pytest.approx(0.6)
 
 
+# tie/multiset stress set: duplicate words inside spans and two preds
+# with EQUAL overlap for one gold — only the exact greedy-removal
+# scorer reproduces the reference here
+GOLD2 = [
+    ("d1", 0, "Databreach", 0, 3, "data data breach"),
+    ("d1", 0, "Databreach", 10, 2, "data stolen"),
+    ("d1", 0, "Ransom", 20, 1, "paid"),
+]
+PRED2 = [
+    ("d1", 0, "Databreach", 0, 2, "data breach"),   # overlaps both golds
+    ("d1", 0, "Databreach", 10, 2, "data data"),    # multiset: 2 vs g1, 1 vs g2
+    ("d1", 0, "Ransom", 20, 2, "paid paid"),        # duplicate word vs 1-gram
+]
+
+
+def _spark_text_df(spark, rows):
+    return spark.createDataFrame(
+        [(doc, sent, label, begin, words)
+         for doc, sent, label, begin, _n, words in rows],
+        "doc_id string, sent_id int, label string, begin long, text string",
+    )
+
+
+def test_exact_scorer_matches_reference_on_ties_and_multisets(spark, ref_score):
+    from casie_spark.scoring import bag_intersect, mention_dice_f1_exact
+
+    # the multiset primitive itself, incl. duplicate consumption
+    assert bag_intersect("data data".split(), "data data breach".split()) == 2
+    assert bag_intersect("paid paid".split(), ["paid"]) == 1
+    assert bag_intersect(["a"], ["b"]) == 0
+
+    gold = _ref_dicts(GOLD2)
+    pred = _ref_dicts(PRED2)
+    for d in gold:
+        for s in gold[d]:
+            pred.setdefault(d, {}).setdefault(s, [])
+    p_ref, r_ref, f_ref = _ref_micro(ref_score, gold, pred,
+                                     ["B-Databreach", "B-Ransom"])
+    got = mention_dice_f1_exact(_spark_text_df(spark, PRED2),
+                                _spark_text_df(spark, GOLD2))
+    assert got["precision"] == pytest.approx(p_ref, abs=1e-3)
+    assert got["recall"] == pytest.approx(r_ref, abs=1e-3)
+    assert got["f1"] == pytest.approx(f_ref, abs=1e-3)
+
+
+def test_exact_scorer_agrees_on_clean_inputs(spark):
+    """On the tie-free differential set, exact and window scorers agree."""
+    from casie_spark.scoring import mention_dice_f1_exact
+
+    exact = mention_dice_f1_exact(_spark_text_df(spark, PRED),
+                                  _spark_text_df(spark, GOLD))
+    approx = mention_dice_f1(_spark_df(spark, PRED), _spark_df(spark, GOLD))
+    assert exact["dice_sum"] == pytest.approx(approx["dice_sum"])
+
+
 def test_triple_prf_basic(spark):
     pred = spark.createDataFrame(
         [("d1", 0, "Victim", 10), ("d1", 0, "CVE", 20), ("d1", 5, "Time", 30)],
