@@ -120,7 +120,7 @@ def main() -> None:
     # delivers only 2.5x cycles, capping any job at 0.63 there, while
     # 4->16 delivers 3.77x = 0.94 — see BASELINE.md).
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        n_scale = int(os.environ.get("SCALING_PAGES", "300000"))
+        n_scale = int(os.environ.get("SCALING_PAGES", "600000"))
         n_lo = int(os.environ.get("SCALING_N", "2"))
         tput = {}
         for c in (n_lo, n_lo * 4):
@@ -129,9 +129,12 @@ def main() -> None:
             d = synth_documents(s, n_scale, partitions=c * 4).persist()
             d.count()
             run_pipeline(d.limit(200), mode="rules").count()
-            t0 = time.perf_counter()
-            run_pipeline(d, mode="rules").count()
-            tput[c] = n_scale / (time.perf_counter() - t0)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: VM throttling variance
+                t0 = time.perf_counter()
+                run_pipeline(d, mode="rules").count()
+                best = min(best, time.perf_counter() - t0)
+            tput[c] = n_scale / best
             print(f"# scaling cpus={c}: {tput[c]:.1f} pages/sec",
                   file=sys.stderr)
             s.stop()
