@@ -64,10 +64,6 @@ _COMPAT_GROUPS: list[tuple[str, list[str], list[str]]] = [
 ]
 
 
-def _title(t: str) -> str:
-    return t[0] + t[1:].lower()
-
-
 def raw_ner(tokens: DataFrame) -> DataFrame:
     """+ ``_ner_raw``: Stanford-style uppercase entity type or 'O',
     derived from the rule gazetteers/regexes (the CoreNLP substitute).
