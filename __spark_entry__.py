@@ -17,11 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: documents -> CASIE event triples, rules mode, on a
-    deterministic synthetic Common-Crawl-shaped corpus (the driver's
-    sf0.001 parquet carries word-soup text without CASIE events, so the
-    pipeline demonstrates on its own synthesized pages; both are read
-    to exercise the scan path)."""
+    """Flagship: documents -> CASIE event triples via the TRAINED
+    tagger (mode="model": broadcast-weight pandas_udf inference +
+    the full linking DAG) on a deterministic synthetic
+    Common-Crawl-shaped corpus (the driver's sf0.001 parquet carries
+    word-soup text without CASIE events, so the pipeline demonstrates
+    on its own synthesized pages; both are read to exercise the scan
+    path)."""
     from pyspark.sql import functions as F
 
     from casie_spark.pipeline import run_pipeline
@@ -32,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     _ = sf_docs.limit(1).count()
 
     docs = synth_documents(spark, 500)
-    triples = run_pipeline(docs, mode="rules")
+    triples = run_pipeline(docs, mode="model")
     return triples.orderBy("doc_id", "event_begin", "arg_begin").select(
         "doc_id", "subj", "pred", "obj", "event_subtype", "realis",
         F.col("confidence").cast("double").alias("confidence"),
