@@ -167,3 +167,32 @@ def mention_dice_f1_exact(pred_spans: DataFrame,
     f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
     return {"dice_sum": dice, "n_gold": n_gold, "n_pred": n_pred,
             "precision": precision, "recall": recall, "f1": f1}
+
+
+def b_cubed_f1(pred_clusters: DataFrame, gold_clusters: DataFrame) -> dict:
+    """B-cubed coreference P/R/F1 (Bagga & Baldwin 1998): per mention,
+    precision = |pred-cluster ∩ gold-cluster| / |pred-cluster| and
+    recall = the same over the gold cluster, averaged over mentions.
+
+    Inputs: (doc_id, event_id, cluster_id) and (doc_id, event_id,
+    hopper_id) — only events present on BOTH sides are scored (the
+    standard system-mention alignment).  Pure DataFrame aggregation:
+    one join + two count windows, no driver loop."""
+    p = pred_clusters.select("doc_id", "event_id",
+                             F.col("cluster_id").alias("_c"))
+    g = gold_clusters.select("doc_id", "event_id",
+                             F.col("hopper_id").alias("_h"))
+    m = p.join(g, ["doc_id", "event_id"], "inner")
+    wc = Window.partitionBy("doc_id", "_c")
+    wh = Window.partitionBy("doc_id", "_h")
+    wch = Window.partitionBy("doc_id", "_c", "_h")
+    per_mention = m.select(
+        (F.count("*").over(wch) / F.count("*").over(wc)).alias("_p"),
+        (F.count("*").over(wch) / F.count("*").over(wh)).alias("_r"),
+    )
+    agg = per_mention.agg(F.avg("_p").alias("p"), F.avg("_r").alias("r"),
+                          F.count("*").alias("n")).first()
+    precision, recall, n = agg["p"] or 0.0, agg["r"] or 0.0, agg["n"]
+    f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "n_mentions": n}

@@ -33,6 +33,23 @@ from casie_spark.sources.annotations import (
 from casie_spark.util import materialize, truncate
 
 
+def test_b_cubed_hand_computed(spark):
+    """Golden check of the B-cubed scorer on a worked example:
+    pred {a,b},{c}; gold {a,b,c} -> P = 1, R = (2/3+2/3+1/3)/3 = 5/9."""
+    from casie_spark.scoring import b_cubed_f1
+
+    pred = spark.createDataFrame(
+        [("d", 0, 10), ("d", 1, 10), ("d", 2, 11)],
+        "doc_id string, event_id int, cluster_id int")
+    gold = spark.createDataFrame(
+        [("d", 0, 5), ("d", 1, 5), ("d", 2, 5)],
+        "doc_id string, event_id int, hopper_id int")
+    m = b_cubed_f1(pred, gold)
+    assert m["precision"] == pytest.approx(1.0)
+    assert m["recall"] == pytest.approx(5 / 9)
+    assert m["n_mentions"] == 3
+
+
 @pytest.fixture(scope="module")
 def pairwise(spark):
     ann = load_annotations(spark).cache()
@@ -61,10 +78,16 @@ def pairwise(spark):
     ).agg(F.sum(F.col("p") * F.col("g")).alias("tp"),
           F.sum("p").alias("np"), F.sum("g").alias("ng")).first()
     n_matched = m.count()
+    from casie_spark.scoring import b_cubed_f1
+
+    b3 = b_cubed_f1(
+        m.select("doc_id", "event_id", "cluster_id"),
+        m.select("doc_id", "event_id", "hopper_id"),
+    )
     ann.unpersist()
     m.unpersist()
     tagged.unpersist()
-    return n_matched, agg["tp"], agg["np"], agg["ng"]
+    return n_matched, agg["tp"], agg["np"], agg["ng"], b3
 
 
 def test_most_gold_events_matched(pairwise):
@@ -73,10 +96,17 @@ def test_most_gold_events_matched(pairwise):
 
 
 def test_pairwise_coref_floor(pairwise):
-    _, tp, npred, ngold = pairwise
+    _, tp, npred, ngold, _b3 = pairwise
     precision = tp / npred
     recall = tp / ngold
     f1 = 2 * precision * recall / (precision + recall)
     assert recall >= 0.95, (precision, recall, f1)
     assert precision >= 0.45, (precision, recall, f1)
     assert f1 >= 0.60, (precision, recall, f1)
+
+
+def test_b_cubed_coref_floor(pairwise):
+    *_, b3 = pairwise
+    assert b3["recall"] >= 0.90, b3
+    assert b3["precision"] >= 0.45, b3
+    assert b3["f1"] >= 0.60, b3

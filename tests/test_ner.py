@@ -189,3 +189,19 @@ def test_ner_stage_keeps_single_token_shuffle(spark):
     doc_exchanges = [ln for ln in plan.splitlines()
                      if "Exchange hashpartitioning(doc_id" in ln]
     assert len(doc_exchanges) == 1, doc_exchanges
+
+
+def test_lookback_pathological_token_ids(spark):
+    """20-bit position clamp: token ids beyond 2^20 in one sentence
+    saturate (ties) instead of corrupting the sentence-major bits —
+    inheritance still resolves, no exceptions."""
+    from casie_spark.operators.ner import lookback_ner
+
+    df = encode_ner(_toks(spark, [
+        (1, 0, 0, "Microsoft", "ORGANIZATION"),
+        (1, 0, 2_000_000, "company", "O"),   # beyond the 2^20 field
+        (1, 1, 0, "company", "O"),
+    ]))
+    m = _ner_map(lookback_ner(df))
+    assert m[(1, 0)] == "B-Organization"
+    assert m[(0, 2_000_000)] == "B-Organization"

@@ -91,3 +91,21 @@ def test_sentence_event_scores(spark):
     assert out[(1, "Phishing")][1] is False  # Person present
     # every returned row has positive score (event_w_score_arg)
     assert all(s > 0 for s, _ in out.values())
+
+
+def test_forced_trigger_pathological_token_ids(spark):
+    """Packed-key clamp: token ids beyond the 19-bit field (an unsplit
+    mega-'sentence') must not corrupt the higher-order key bits or
+    throw; the sweep still forces a trigger at sane positions."""
+    rows = [
+        _tok("d", 0, 0, "demanded", "O", "O"),
+        _tok("d", 0, 1, "$500", "O", "B-Money"),
+        _tok("d", 0, 2, "bitcoin", "O", "B-PaymentMethod"),
+        # same sentence, token ids far beyond 2^19
+        _tok("d", 0, 600000, "filler", "O", "O"),
+        _tok("d", 0, 600001, "more", "O", "O"),
+    ]
+    out = apply_forced_triggers(spark.createDataFrame(rows, SCHEMA))
+    got = {r["token_id"]: r["trigger_tag"] for r in out.collect()}
+    assert got[0] == "B-Ransom"            # forced at the sane position
+    assert got[600000] == "O" and got[600001] == "O"
