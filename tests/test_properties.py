@@ -146,3 +146,20 @@ def test_day_difference_metric_properties(y1, m1, d1, y2, m2, d2):
     a, b = [y1, m1, d1], [y2, m2, d2]
     assert day_difference(a, a) == 0
     assert day_difference(a, b) == -day_difference(b, a)
+
+
+@given(st.text(max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_singular_noun_total(w):
+    """F12 is a total function: any string yields False or a non-empty
+    string, and singular output is never longer than the input
+    (suffix-stripping rules; irregulars map within the table)."""
+    from casie_spark.functions.singular import singular_noun
+
+    out = singular_noun(w)
+    assert out is False or (isinstance(out, str) and len(out) >= 1)
+    if isinstance(out, str) and w.lower() not in (
+            "people", "men", "women", "mice", "geese", "teeth", "feet",
+            "media", "data", "indices", "matrices", "vertices",
+            "appendices", "criteria", "phenomena"):
+        assert len(out) <= len(w)
