@@ -108,8 +108,10 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     return materialize(tagged)
 
 
-def triples_from_tagged(tagged: DataFrame) -> DataFrame:
-    """tagged tokens -> (subj, pred, obj) triples."""
+def triples_from_tagged(tagged: DataFrame, role_provider=None) -> DataFrame:
+    """tagged tokens -> (subj, pred, obj) triples.  ``role_provider``:
+    optional role-phrase model hook for the P4-ambiguous pairs (see
+    operators.roles.assign_roles)."""
     # events is referenced 3-5x downstream (realis windows, sentence
     # lookup, candidate join).  It is EVENT-scale (~100x smaller than
     # the token stream), so the barrier is `truncate` rather than
@@ -129,7 +131,7 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
         events = truncate(with_realis(events, tagged))
     args = extract_arguments(tagged, carry=["role"])
     linked = link(events, args, tagged)
-    rolled = assign_roles(linked)
+    rolled = assign_roles(linked, provider=role_provider)
 
     realis = (
         F.col("realis") if "realis" in rolled.columns else F.lit(None).cast("string")
@@ -150,16 +152,31 @@ def triples_from_tagged(tagged: DataFrame) -> DataFrame:
 
 def run_pipeline(documents: DataFrame, id_col: str = "url",
                  mode: str = "rules", gold=None,
-                 english_only: bool = True, tagger_weights=None) -> DataFrame:
+                 english_only: bool = True, tagger_weights=None,
+                 role_provider: object = "auto") -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> triples, doc_id =
     the original url/id (internal long keys are joined back here —
     triples are ~100x smaller than the token stream, so the mapping
-    join is cheap)."""
+    join is cheap).
+
+    ``role_provider``: "auto" (default) routes P4-ambiguous pairs
+    through the TRAINED role-phrase model when mode="model" — matching
+    the reference architecture, where models assign ambiguous roles —
+    and uses the deterministic RolePair fallback otherwise (rules/gold
+    keep parity with the model-free reference semantics).  Pass an
+    explicit provider callable or None to override."""
     if english_only and "lang" in documents.columns:
         documents = documents.filter(F.col("lang") == "en")
+    if role_provider == "auto":
+        if mode == "model":
+            from .operators.roles import trained_role_provider
+
+            role_provider = trained_role_provider()
+        else:
+            role_provider = None
     tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold,
                            tagger_weights=tagger_weights)
-    triples = triples_from_tagged(tagged)
+    triples = triples_from_tagged(tagged, role_provider=role_provider)
     id_map = documents.select(
         doc_key(F.col(id_col)).alias("doc_id"),
         F.col(id_col).cast("string").alias("_url"),

@@ -59,7 +59,8 @@ def test_model_vs_rules_triple_parity(spark):
     rules_t = {tuple(r) for r in run_pipeline(docs, mode="rules")
                .select("doc_id", "subj", "pred", "obj").distinct().collect()}
     model_t = {tuple(r) for r in run_pipeline(
-        docs, mode="model", tagger_weights=distill_rule_weights())
+        docs, mode="model", tagger_weights=distill_rule_weights(),
+        role_provider=None)
         .select("doc_id", "subj", "pred", "obj").distinct().collect()}
     tp = len(rules_t & model_t)
     precision = tp / len(model_t)

@@ -53,3 +53,37 @@ def test_no_provider_matches_round1_behavior(spark):
     assert all(v is None or isinstance(v, str) for v in base.values())
     # deterministic fallback still fills roles from RolePair
     assert base[(1, 3)] is not None
+
+
+def test_trained_role_provider_resolves_ambiguity(spark):
+    """The trained role-phrase model picks surface-appropriate roles
+    for P4-ambiguous pairs: 'hackers' -> Attacker, 'customers' ->
+    Victim for Databreach+Person (the deterministic fallback returns
+    the same role for both)."""
+    from casie_spark.operators.roles import trained_role_provider
+
+    cand = spark.createDataFrame(
+        [("d", 0, 0, "Databreach", "Person", "hackers"),
+         ("d", 0, 1, "Databreach", "Person", "customers"),
+         ("d", 1, 2, "Ransom", "Money", "$500"),
+         ("d", 2, 3, "Phishing", "Organization", "Apple")],
+        "doc_id string, event_id int, arg_id int, subtype string, "
+        "arg_type string, arg_text string")
+    out = {r["arg_id"]: r["role"]
+           for r in trained_role_provider()(cand).collect()}
+    assert out[0] == "Attacker"
+    assert out[1] == "Victim"
+    assert out[2] == "Price"
+    assert out[3] == "Trusted-Entity"
+
+
+def test_pipeline_auto_role_provider(spark):
+    """mode=model routes ambiguous pairs through the trained provider;
+    rules mode stays deterministic (parity-preserving)."""
+    from casie_spark.pipeline import run_pipeline
+    from casie_spark.sources.documents import synth_documents
+
+    docs = synth_documents(spark, 60, partitions=2)
+    model_roles = {r["pred"] for r in
+                   run_pipeline(docs, mode="model").select("pred").distinct().collect()}
+    assert model_roles  # runs end-to-end with the provider wired
