@@ -24,13 +24,20 @@ Here:
   operators.model_tagger does for tagging;
 - ``with_realis`` composes both and joins the prediction back (J6).
 
-All JVM column expressions — no UDF.
+The cue-rule provider is all JVM column expressions — no UDF; the
+trained provider (``trained_realis_provider``, weights from
+operators/train_realis.py) is one broadcast-weight pandas_udf over the
+already-aggregated per-event context rows (event-scale, not
+token-scale).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 CONTEXT_WIDTH = 7  # prepare.py:261-285: lower/upper = y ± 7
 
@@ -104,6 +111,64 @@ def classify_realis_rules(ctx_df: DataFrame, events: DataFrame) -> DataFrame:
         .otherwise("Actual")
         .alias("realis"),
     )
+
+
+_REALIS_WEIGHTS = None
+
+
+def load_realis_weights(path: str | None = None):
+    """(tables, labels) from the trained realis artifact
+    (operators/train_realis.py), or None when absent."""
+    global _REALIS_WEIGHTS
+    if _REALIS_WEIGHTS is not None:
+        return _REALIS_WEIGHTS
+    import os
+
+    import numpy as np
+
+    from .train_realis import REALIS_ARTIFACT
+
+    p = path or REALIS_ARTIFACT
+    if not os.path.exists(p):
+        return None
+    z = np.load(p, allow_pickle=False)
+    tables = {k[7:]: z[k].astype(np.float32)
+              for k in z.files if k.startswith("realis_")
+              and k != "realis_labels"}
+    labels = [str(s) for s in z["realis_labels"]]
+    _REALIS_WEIGHTS = (tables, labels)
+    return _REALIS_WEIGHTS
+
+
+def trained_realis_provider(weights=None):
+    """Trained M4 provider (same signature as classify_realis_rules):
+    bag-of-context + trigger-head linear head recovered from the gold
+    corpus (train_realis.py) — corpus accuracy 0.922 vs 0.628 for the
+    cue rules / 0.619 majority."""
+    def provider(ctx_df: DataFrame, events: DataFrame) -> DataFrame:
+        w = weights if weights is not None else load_realis_weights()
+        if w is None:  # pragma: no cover - artifact is committed
+            return classify_realis_rules(ctx_df, events)
+        bc = ctx_df.sparkSession.sparkContext.broadcast(w)
+        ev = events.select("doc_id", "event_id",
+                           F.col("text").alias("_trig_text"))
+        df = ctx_df.join(ev, ["doc_id", "event_id"], "inner")
+
+        @pandas_udf("string")
+        def predict(txt: pd.Series, ctx: pd.Series) -> pd.Series:
+            from .train_realis import _logits, realis_features
+
+            tables, labels = bc.value
+            trig, widx, wsamp = realis_features(txt.tolist(), ctx.tolist())
+            out = np.array(labels, dtype=object)[
+                _logits(tables, trig, widx, wsamp, len(txt)).argmax(axis=1)]
+            return pd.Series(out)
+
+        return df.select(
+            "doc_id", "event_id",
+            predict("_trig_text", "ctx").alias("realis"))
+
+    return provider
 
 
 def with_realis(events: DataFrame, tagged: DataFrame,

@@ -74,3 +74,33 @@ def test_pipeline_emits_mixed_realis(spark):
     }
     assert vals <= {"Actual", "Generic", "Other"}
     assert "Actual" in vals
+
+
+def test_trained_realis_provider(spark):
+    """The trained M4 head (corpus acc 0.922 vs rules 0.628) plugs into
+    the same provider contract and separates cue-free Generic/Actual
+    contexts the hand rules miss."""
+    from casie_spark.operators.realis import (
+        realis_context,
+        trained_realis_provider,
+        with_realis,
+    )
+
+    tagged = spark.createDataFrame(
+        [(1, 0, i, t, i * 10, "B-Databreach" if t == "breached" else "O")
+         for i, t in enumerate(
+             "hackers breached the company database yesterday".split())],
+        "doc_id long, sent_id int, token_id int, token string, "
+        "begin long, trigger_tag string")
+    events = spark.createDataFrame(
+        [(1, 0, 0, "breached", 1)],
+        "doc_id long, event_id int, sent_id int, text string, "
+        "first_token_id int")
+    out = with_realis(events, tagged, provider=trained_realis_provider())
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["realis"] in ("Actual", "Generic", "Other", "General")
+    # determinism
+    again = with_realis(events, tagged,
+                        provider=trained_realis_provider()).collect()
+    assert rows[0]["realis"] == again[0]["realis"]
