@@ -43,3 +43,22 @@ def test_score_deterministic_across_calls():
     a = w.score(toks, prevs, nexts)
     b = w.score(toks, prevs, nexts)
     assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_end_to_end_triple_quality_gate(spark):
+    """The full trained stack (tagger + role-phrase + realis) must hold
+    the corpus-level exact-four-tuple triple quality (r2: P .441 /
+    R .562 / F1 .494; rules floor .022)."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.pipeline import run_pipeline
+    from casie_spark.scoring import triple_prf
+    from casie_spark.sources.annotations import gold_triples, load_annotations
+
+    ann = load_annotations(spark).cache()
+    docs = ann.select("doc_id", F.col("content").alias("text"))
+    pred = run_pipeline(docs, id_col="doc_id", mode="model")
+    m = triple_prf(pred, gold_triples(ann))
+    ann.unpersist()
+    assert m["f1"] >= 0.45, m
+    assert m["recall"] >= 0.50, m
