@@ -1,7 +1,8 @@
 """Deterministic trainer for the realis classifier (SURVEY §2.10 M4):
-the two-pass model the reference trains over the ±7-token context
-window (W2) whose weights are absent upstream, recovered from the gold
-corpus like the tagger and role models.
+the model the reference trains in ``realis_identify.py`` (BiLSTM head,
+build_model :116-157, over the ±7-token W2 context windows that
+``prepare.py:261-285`` cuts) whose weights are absent upstream,
+recovered from the gold corpus like the tagger and role models.
 
 Model: logits = T_trig[hash(trigger head)] + Σ_{w in ctx} T_ctx[hash(w)]
 + bias — a bag-of-context linear scorer trained with the mini-batch
