@@ -167,8 +167,30 @@ def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# mixture weighting
 # ---------------------------------------------------------------------------
+
+def quota_sample(docs: DataFrame, quotas: dict[str, float],
+                 id_col: str = "doc_id",
+                 source_col: str = "source",
+                 default_quota: float = 1.0) -> DataFrame:
+    """Deterministic per-source quota sampling — the training-mixture
+    weighting step of a corpus pipeline (keep fraction q_s of each
+    source, stable across runs and cluster sizes).
+
+    MAP-ONLY by design: a doc is kept iff hash16(source|id)/2^16 <
+    q_s — no shuffle, no per-source counting.  The tempting exact
+    formulation (row_number per source / count) partitions by source,
+    whose cardinality is tiny, so at crawl scale a handful of hot
+    partitions serialize the whole job; the hash-threshold form hits
+    each quota exactly in expectation with binomial jitter O(1/sqrt n)
+    and costs one projection.  hash16 is md5-derived, so the DuckDB
+    oracle (q30) reproduces the exact kept-set bit-for-bit."""
+    frac = F.lit(float(default_quota))
+    for src, q in sorted(quotas.items()):
+        frac = F.when(F.col(source_col) == src, F.lit(float(q))).otherwise(frac)
+    h = hash16(F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string")))
+    return docs.filter(h < (frac * (1 << 16)).cast("int"))
 
 SIMHASH_BITS = 16
 

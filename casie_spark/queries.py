@@ -449,6 +449,26 @@ def q24_multimodal_meta(spark, sf_dir):
     )
 
 
+# per-source mixture quotas shared by q30's Spark side and oracle
+_QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_DEFAULT_QUOTA = 0.6
+
+
+def q30_source_quota(spark, sf_dir):
+    """Deterministic training-mixture weighting (dedup.quota_sample):
+    map-only hash-threshold sampling per source — kept-set verified
+    bit-for-bit against the DuckDB oracle via the shared md5 hash16.
+    Result: per-source kept counts + an id checksum."""
+    from .operators.dedup import quota_sample
+
+    d = _load(spark, sf_dir, "documents")
+    kept = quota_sample(d, _QUOTAS, default_quota=_DEFAULT_QUOTA)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 # word -> entity/noun rewrites shared by q29's Spark side and oracle
 _NER_REWRITES = [
     (r"\bspark\b", "Microsoft"),   # vendor gazetteer -> B-Organization
@@ -592,6 +612,7 @@ QUERIES = {
     "q27_model_inference": q27_model_inference,
     "q28_ann_ivf": q28_ann_ivf,
     "q29_ner_lookback": q29_ner_lookback,
+    "q30_source_quota": q30_source_quota,
 }
 
 
@@ -781,6 +802,24 @@ def _ner_lookback_oracle() -> str:
             FROM bested
         )
         SELECT doc_id, pos, token, ner FROM final WHERE ner <> 'O'
+    """
+
+
+def _source_quota_oracle() -> str:
+    """DuckDB mirror of q30: the same md5-hash16 threshold per source,
+    thresholds generated from the same _QUOTAS dict."""
+    from .functions.textstats import hash16_sql
+
+    h = hash16_sql("source || '|' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(q * (1 << 16))}"
+        for s, q in sorted(_QUOTAS.items()))
+    return f"""
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+        WHERE {h} < (CASE {cases} ELSE {int(_DEFAULT_QUOTA * (1 << 16))} END)
+        GROUP BY source
     """
 
 
@@ -1114,4 +1153,5 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "q29_ner_lookback": _ner_lookback_oracle(),
+        "q30_source_quota": _source_quota_oracle(),
     }

@@ -188,3 +188,29 @@ def test_multimodal_plumbing(spark):
     d1 = {r["frame_no"]: r["frame_sha"] for r in frames if r["doc_id"] == 1}
     d2 = {r["frame_no"]: r["frame_sha"] for r in frames if r["doc_id"] == 2}
     assert d1 == d2
+
+
+def test_quota_sample_deterministic_and_mixture(spark):
+    """Mixture weighting is map-only, deterministic, and tracks the
+    per-source quotas in expectation (dedup.quota_sample)."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.operators.dedup import quota_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", "text") for i in range(2000)],
+        "doc_id long, source string, text string")
+    kept = quota_sample(docs, {"src0": 0.25, "src1": 0.75})
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # 1000 docs/source; binomial(1000, q) stays well within 5 sigma
+    assert 180 <= counts["src0"] <= 320, counts
+    assert 680 <= counts["src1"] <= 820, counts
+    again = {r["source"]: r["n"] for r in
+             quota_sample(docs, {"src0": 0.25, "src1": 0.75})
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+    # map-only: no exchange in the plan
+    plan = kept._sc._jvm.PythonSQLUtils.explainString(
+        kept._jdf.queryExecution(), "simple")
+    assert "Exchange" not in plan
