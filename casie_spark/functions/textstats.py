@@ -124,6 +124,60 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 4))
 
 
+def repetition_columns(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): the
+    fraction of a document's word bigrams/trigrams that are duplicates
+    of an earlier occurrence, plus the most-frequent-word share.
+    Templated/boilerplate pages spike on these; a 100 TB pipeline
+    filters on them before training.
+
+    Shape: one posexplode + one groupBy(doc) with countDistinct — the
+    per-doc aggregation is map-side combinable and keys on doc_id
+    (uniform), no skew.  Returns (id_col, dup_bigram_frac,
+    dup_trigram_frac, top_word_frac)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    words = df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    grams = (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .withColumn("_bi", F.when(F.col("w1").isNotNull(),
+                                  F.concat_ws(" ", "w", "w1")))
+        .withColumn("_tri", F.when(F.col("w2").isNotNull(),
+                                   F.concat_ws(" ", "w", "w1", "w2")))
+    )
+    agg = grams.groupBy(id_col).agg(
+        F.count("w").alias("_n"),
+        F.countDistinct("w").alias("_nw"),
+        F.count("_bi").alias("_nb"),
+        F.countDistinct("_bi").alias("_ndb"),
+        F.count("_tri").alias("_nt"),
+        F.countDistinct("_tri").alias("_ndt"),
+    )
+    top = (
+        words.groupBy(id_col, "w").agg(F.count("*").alias("_c"))
+        .groupBy(id_col).agg(F.max("_c").alias("_topc"))
+    )
+    return (
+        agg.join(top, id_col)
+        .select(
+            id_col,
+            F.round((F.col("_nb") - F.col("_ndb"))
+                    / F.greatest(F.col("_nb"), F.lit(1)), 4)
+            .alias("dup_bigram_frac"),
+            F.round((F.col("_nt") - F.col("_ndt"))
+                    / F.greatest(F.col("_nt"), F.lit(1)), 4)
+            .alias("dup_trigram_frac"),
+            F.round(F.col("_topc") / F.col("_n"), 4).alias("top_word_frac"),
+        )
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 def shingle_fingerprints(words_df: DataFrame, mod: int = 16,

@@ -449,6 +449,43 @@ def q24_multimodal_meta(spark, sf_dir):
     )
 
 
+def q31_repetition(spark, sf_dir):
+    """Gopher-style repetition gates (textstats.repetition_columns):
+    duplicate bigram/trigram fractions + most-frequent-word share per
+    doc — boilerplate filters for a training-data pipeline."""
+    from .functions.textstats import repetition_columns
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return repetition_columns(d)
+
+
+# word -> PII rewrites shared by q32's Spark side and oracle (the
+# synthetic corpus carries no PII, so some is injected deterministically
+# before redaction — same trick as q29)
+_PII_REWRITES = [
+    (r"\bspark\b", "alice@example.com"),
+    (r"\bmerge\b", "10.0.0.1"),
+    (r"\bbatch\b", "555-123-4567"),
+]
+
+
+def q32_pii_redaction(spark, sf_dir):
+    """PII redaction hygiene pass (functions.redact.redact_pii):
+    emails/IPs/phones -> typed placeholders; counts + an md5 of the
+    redacted text verified byte-for-byte against the oracle."""
+    from .functions.redact import redact_pii
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    text = F.col("text")
+    for pat, rep in _PII_REWRITES:
+        text = F.regexp_replace(text, pat, rep)
+    out = redact_pii(d.withColumn("text", text))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -613,6 +650,8 @@ QUERIES = {
     "q28_ann_ivf": q28_ann_ivf,
     "q29_ner_lookback": q29_ner_lookback,
     "q30_source_quota": q30_source_quota,
+    "q31_repetition": q31_repetition,
+    "q32_pii_redaction": q32_pii_redaction,
 }
 
 
@@ -802,6 +841,35 @@ def _ner_lookback_oracle() -> str:
             FROM bested
         )
         SELECT doc_id, pos, token, ner FROM final WHERE ner <> 'O'
+    """
+
+
+def _pii_redaction_oracle() -> str:
+    """DuckDB mirror of q32: identical inject -> count -> redact chain
+    generated from the same pattern constants."""
+    from .functions.redact import _RULES
+
+    text_expr = "text"
+    for pat, rep in _PII_REWRITES:
+        text_expr = f"regexp_replace({text_expr}, '{pat}', '{rep}', 'g')"
+    stages, counts = [], []
+    cur = "s0"
+    stages.append(f"s0 AS (SELECT doc_id, {text_expr} AS t FROM documents "
+                  f"WHERE doc_id < 100)")
+    for i, (placeholder, pat, cname) in enumerate(_RULES):
+        nxt = f"s{i + 1}"
+        stages.append(
+            f"{nxt} AS (SELECT doc_id, "
+            f"length(regexp_extract_all(t, '{pat}')) AS {cname}, "
+            f"regexp_replace(t, '{pat}', '{placeholder}', 'g') AS t, "
+            f"{', '.join(c for _, _, c in _RULES[:i])}"
+            f"{',' if i else ''} FROM {cur})".replace(", ,", ","))
+        cur = nxt
+    with_clause = ",\n        ".join(stages)
+    return f"""
+        WITH {with_clause}
+        SELECT doc_id, n_emails, n_ips, n_phones, md5(t) AS redacted_md5
+        FROM {cur}
     """
 
 
@@ -1154,4 +1222,39 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         """,
         "q29_ner_lookback": _ner_lookback_oracle(),
         "q30_source_quota": _source_quota_oracle(),
+        "q32_pii_redaction": _pii_redaction_oracle(),
+        "q31_repetition": """
+            WITH words AS (
+                SELECT doc_id, w, pos FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w,
+                           generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS pos
+                    FROM documents WHERE doc_id < 100) t
+                WHERE w <> ''
+            ), grams AS (
+                SELECT doc_id, w, pos,
+                       lead(w, 1) OVER win AS w1,
+                       lead(w, 2) OVER win AS w2
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), agg AS (
+                SELECT doc_id,
+                       count(w) AS n,
+                       count(CASE WHEN w1 IS NOT NULL THEN 1 END) AS nb,
+                       count(DISTINCT CASE WHEN w1 IS NOT NULL
+                             THEN w || ' ' || w1 END) AS ndb,
+                       count(CASE WHEN w2 IS NOT NULL THEN 1 END) AS nt,
+                       count(DISTINCT CASE WHEN w2 IS NOT NULL
+                             THEN w || ' ' || w1 || ' ' || w2 END) AS ndt
+                FROM grams GROUP BY doc_id
+            ), top AS (
+                SELECT doc_id, max(c) AS topc FROM (
+                    SELECT doc_id, w, count(*) AS c FROM words
+                    GROUP BY doc_id, w) t GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   round((nb - ndb) / greatest(nb, 1), 4) AS dup_bigram_frac,
+                   round((nt - ndt) / greatest(nt, 1), 4) AS dup_trigram_frac,
+                   round(topc / n, 4) AS top_word_frac
+            FROM agg a JOIN top USING (doc_id)
+        """,
     }

@@ -3,6 +3,7 @@ scoring, language-ID, fingerprints."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from casie_spark.functions.textstats import (
@@ -64,3 +65,34 @@ def test_hash16_range(spark):
     assert all(0 <= r["h"] < (1 << 16) for r in rows)
     # stable across calls (md5-derived)
     assert rows[2]["h"] == 23873  # md5("hello")[:4] == 5d41
+
+
+def test_repetition_columns(spark):
+    """Gopher repetition gates: a fully repeated doc spikes, a
+    all-distinct doc scores zero."""
+    from casie_spark.functions.textstats import repetition_columns
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    m = {r["doc_id"]: r for r in repetition_columns(docs).collect()}
+    assert m[1]["dup_bigram_frac"] == 0.8    # 5 bigrams, 1 distinct
+    assert m[1]["top_word_frac"] == 1.0
+    assert m[2]["dup_bigram_frac"] == 0.0
+    assert m[2]["dup_trigram_frac"] == 0.0
+    assert m[2]["top_word_frac"] == pytest.approx(1 / 6, abs=1e-3)
+
+
+def test_redact_pii(spark):
+    from casie_spark.functions.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob@corp.example.org or call 555-123-4567 via 192.168.0.1"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    m = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert m[1]["n_emails"] == 1 and m[1]["n_ips"] == 1 and m[1]["n_phones"] == 1
+    assert m[1]["redacted_text"] == "mail <EMAIL> or call <PHONE> via <IP>"
+    assert m[2]["redacted_text"] == "no pii here at all"
+    assert m[2]["n_emails"] == 0
