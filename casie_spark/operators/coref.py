@@ -3,25 +3,49 @@ SURVEY.md section 2.9).
 
 Reference: corefdiffbyevent + average-linkage AgglomerativeClustering
 per (doc, event subtype), 7 weighted distance features, threshold 0.75
-(code/link_coref.py:1530-1679, :2041-2044).  Events of the same
+(code/link_coref.py:1510-1679, :2041-2044).  Events of the same
 cluster form a hopper ('Same' relation).
 
-v1 deterministic substitutes for the model/parse-dependent features
-(documented divergences — a w2v matrix or coref chains slot in without
-changing the column contract):
-- nugget surface distance: 1 - char-trigram Jaccard (reference uses
-  word2vec cosine, strdist :240-309)
-- argument coref similarity: constant 1.0 (reference reads CoreNLP
-  coref chains) — constant columns vanish under the reference's own
-  min-max normalization (:1617-1651)
+Feature matrix, reference pairing (link_coref.py:1656-1663):
+
+    w[0] nuggetdiff   surface distance of the two triggers
+    w[1] realisdiff   0/1 realis mismatch
+    w[2] argtype      shared-argument-type count   (min-max normalized)
+    w[3] argcoref     1 - coreferent-arg-pair ratio (:1602-1613)
+    w[4] nuggetdist   |sentence gap|               (min-max normalized)
+    w[5] argmiss      e1 arg types absent from e2  (min-max normalized)
+    w[6] timedist     0/1 Time-argument day difference (:1590-1600,
+                      timedifference :499-544 via functions.timeparse)
+
+Normalization is replicated as the reference EXECUTES it, not as the
+code reads: the min tracker's comparison is inverted
+(``if minX < min(dist)``, :1620-1633), so the minimum stays pinned at
+its 100.0 sentinel and ``(v - 100) / (max - 100)`` flips sign —
+each min-maxed feature becomes ≈1.0 with a small inverted signal
+(more shared arg types ⇒ slightly closer), or exactly 0 when the
+feature's max is 0.  The 0.75 threshold is tuned against THIS
+geometry; a clean min-max leaves every same-subtype pair under the
+threshold (measured round 2: pairwise P 0.507 = the one-cluster-per-
+(doc,subtype) baseline).
+
+Documented substitutes for parser/model inputs absent upstream (the
+column contract does not change when real ones slot in):
+- nuggetdiff: 1 - char-trigram Jaccard (reference uses word2vec
+  cosine/2, strdist :300-309; the w2v matrix is not shipped);
+- argcoref's per-pair predicate: normalized surface equality or
+  containment (reference overlaps CoreNLP coref-chain spans,
+  iscoref :311-332; the chains are parser output not shipped).
 
 Implementation: one ``applyInPandas`` per doc_id group (sklearn-free
 numpy average-linkage; event counts per doc are tens at most).  The
 grouping key is doc_id, so the stage rides the pipeline's existing
-doc_id partitioning.
+doc_id partitioning; the per-doc pubdate joins in at EVENT scale
+(~100x smaller than tokens), never broadcast.
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -29,8 +53,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import COREF_THRESHOLD, COREF_WEIGHTS
+from ..functions.timeparse import day_difference, resolve_time
 
 OUT_SCHEMA_TMPL = "doc_id {id_type}, event_id long, cluster_id long"
+
+_ARG_SEP = "\x1f"  # unit separator: never appears in argument surfaces
 
 
 def _trigram_jaccard(a: str, b: str) -> float:
@@ -42,7 +69,57 @@ def _trigram_jaccard(a: str, b: str) -> float:
     return len(ta & tb) / len(ta | tb)
 
 
+def _is_coref(a: str, b: str) -> bool:
+    """Deterministic substitute for the reference's CoreNLP-chain span
+    overlap (iscoref, link_coref.py:311-332): two argument mentions
+    count as coreferent when their normalized surfaces match or one
+    contains the other ('Equifax' vs 'Equifax Inc.').  Containment is
+    the dominant within-document coreference signal for the named
+    arguments CASIE links (vendors, products, CVE ids, files)."""
+    a = (a or "").lower().strip()
+    b = (b or "").lower().strip()
+    if not a or not b:
+        return False
+    return a == b or (len(a) >= 3 and a in b) or (len(b) >= 3 and b in a)
+
+
+def _parse_pubdate(raw) -> tuple[int, int, int]:
+    """'2018_11_09' -> (2018, 11, 9); anything else -> (0, 0, 0)
+    (reference splits the <date> header on '_', link_coref.py:230-238)."""
+    try:
+        y, m, d = (int(v) for v in str(raw).split("_"))
+        return y, m, d
+    except (ValueError, AttributeError):
+        return 0, 0, 0
+
+
+def _timedist(pubdate: tuple[int, int, int], s1: str, s2: str) -> float:
+    """0/1 Time-argument distance (link_coref.py:1590-1600): both
+    events carry a Time argument and their resolved dates differ by
+    >0 days (timedifference :499-544 — identical surfaces short-
+    circuit to 0; resolution order duration -> strtotime -> adjust is
+    functions.timeparse.resolve_time)."""
+    if not s1 or not s2 or s1 == s2:
+        return 0.0
+    d1 = resolve_time(s1.split(), pubdate)
+    d2 = resolve_time(s2.split(), pubdate)
+    return 1.0 if day_difference(d1, d2) > 0 else 0.0
+
+
+def _ref_minmax(m: np.ndarray) -> np.ndarray:
+    """The normalization the reference executes (link_coref.py:
+    1617-1651): min pinned at the 100.0 sentinel, zero matrix when the
+    max is zero.  For max < 100 the division flips sign, giving
+    ≈1.0-with-inverted-signal values — see module docstring."""
+    hi = float(m.max())
+    if hi == 0.0:
+        return np.zeros_like(m)
+    return (m - 100.0) / (hi - 100.0)
+
+
 def _minmax(m: np.ndarray) -> np.ndarray:
+    """Clean min-max (kept for callers/tests that want the intended
+    reading; cluster_events itself uses _ref_minmax for parity)."""
     lo, hi = m.min(), m.max()
     if hi <= lo:
         return np.zeros_like(m)
@@ -87,6 +164,7 @@ def average_linkage_clusters(dist: np.ndarray, threshold: float) -> list[int]:
 def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     doc_id = pdf["doc_id"].iloc[0]
+    pubdate = _parse_pubdate(pdf["pubdate"].iloc[0]) if "pubdate" in pdf else (0, 0, 0)
     next_cluster = 0
     for subtype in sorted(pdf["subtype"].unique()):
         sub = pdf[pdf["subtype"] == subtype].sort_values("event_id")
@@ -98,7 +176,16 @@ def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         texts = sub["event_text"].tolist()
         sents = sub["sent_id"].to_numpy(dtype=float)
         realis = sub["realis"].fillna("").tolist()
-        argsets = [set((s or "").split("|")) - {""} for s in sub["arg_types"]]
+        typelists = [
+            [t for t in (s or "").split("|") if t] for s in sub["arg_types"]
+        ]
+        typecounts = [Counter(tl) for tl in typelists]
+        argtexts = [
+            [t for t in (s or "").split(_ARG_SEP) if t]
+            for s in sub["arg_texts"]
+        ]
+        times = ["" if t is None or t != t else str(t)
+                 for t in sub["time_surface"]]
 
         nugdiff = np.zeros((n, n))
         nugdist = np.zeros((n, n))
@@ -106,8 +193,7 @@ def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         argtype = np.zeros((n, n))
         argmiss = np.zeros((n, n))
         timedist = np.zeros((n, n))
-        argcoref = np.ones((n, n))
-        np.fill_diagonal(argcoref, 0.0)
+        argcoref = np.zeros((n, n))
         for i in range(n):
             for j in range(n):
                 if i == j:
@@ -115,16 +201,35 @@ def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
                 nugdiff[i, j] = 1.0 - _trigram_jaccard(texts[i], texts[j])
                 nugdist[i, j] = abs(sents[i] - sents[j])
                 realisdiff[i, j] = 0.0 if realis[i] == realis[j] else 1.0
-                inter = len(argsets[i] & argsets[j])
+                # multiset remove-first intersection (:1579-1588)
+                inter = sum((typecounts[i] & typecounts[j]).values())
                 argtype[i, j] = inter
-                argmiss[i, j] = len(argsets[i]) - inter
+                argmiss[i, j] = len(typelists[i]) - inter
+                # argument coref ratio (:1602-1613): fraction of
+                # (arg_i, arg_j) pairs whose mentions corefer; 1.0
+                # when either event has no arguments
+                cnt = tot = 0
+                for a1 in argtexts[i]:
+                    for a2 in argtexts[j]:
+                        if _is_coref(a1, a2):
+                            cnt += 1
+                        tot += 1
+                argcoref[i, j] = 1.0 - (cnt / tot) if tot else 1.0
+                # Time-argument day difference (:1590-1600); the
+                # reference keeps the LAST Time argument per event
+                # (surface overwritten in the argument loop, :502-507)
+                timedist[i, j] = _timedist(pubdate, times[i], times[j])
 
-        feats = [
-            _minmax(nugdiff), _minmax(nugdist), _minmax(realisdiff),
-            1.0 - _minmax(argtype),  # more shared arg types -> closer
-            _minmax(argmiss), _minmax(timedist), _minmax(argcoref),
-        ]
-        dist = sum(w * f for w, f in zip(COREF_WEIGHTS, feats))
+        w = COREF_WEIGHTS  # reference order, link_coref.py:1656-1663
+        dist = (
+            w[0] * nugdiff
+            + w[1] * realisdiff
+            + w[2] * _ref_minmax(argtype)
+            + w[3] * argcoref
+            + w[4] * _ref_minmax(nugdist)
+            + w[5] * _ref_minmax(argmiss)
+            + w[6] * timedist
+        )
         np.fill_diagonal(dist, 0.0)
         labels = average_linkage_clusters(dist, COREF_THRESHOLD)
         for eid, lab in zip(sub["event_id"], labels):
@@ -133,18 +238,48 @@ def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id", "event_id", "cluster_id"])
 
 
-def cluster_events(events: DataFrame, linked: DataFrame) -> DataFrame:
-    """events + linked arg pairs -> (doc_id, event_id, cluster_id)."""
-    argl = (
-        linked.groupBy("doc_id", "event_id")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list("arg_type"))).alias("arg_types"))
-    )
+def cluster_events(events: DataFrame, linked: DataFrame,
+                   pubdates: DataFrame | None = None) -> DataFrame:
+    """events + linked arg pairs -> (doc_id, event_id, cluster_id).
+
+    ``pubdates``: optional (doc_id, pubdate) frame, pubdate the raw
+    'y_m_d' header string — enables the timedist feature (otherwise
+    every date resolves against (0,0,0) and timedist still fires on
+    fully-specified surfaces only)."""
+    has_text = "arg_text" in linked.columns
+    has_arg_id = "arg_id" in linked.columns
+    aggs = [
+        F.concat_ws("|", F.array_sort(F.collect_list("arg_type"))).alias("arg_types"),
+        (
+            F.concat_ws(_ARG_SEP, F.array_sort(F.collect_list("arg_text")))
+            if has_text else F.lit("")
+        ).alias("arg_texts"),
+        (
+            F.max_by(
+                F.when(F.col("arg_type") == "Time", F.col("arg_text")),
+                F.when(F.col("arg_type") == "Time", F.col("arg_id")),
+            )
+            if has_text and has_arg_id
+            else (
+                F.max(F.when(F.col("arg_type") == "Time", F.col("arg_text")))
+                if has_text else F.lit(None).cast("string")
+            )
+        ).alias("time_surface"),
+    ]
+    argl = linked.groupBy("doc_id", "event_id").agg(*aggs)
     base = events.select(
         "doc_id", "event_id",
         F.col("subtype"), F.col("sent_id"),
         F.col("text").alias("event_text"),
         (F.col("realis") if "realis" in events.columns else F.lit(None).cast("string")).alias("realis"),
     ).join(argl, ["doc_id", "event_id"], "left")
+    if pubdates is not None:
+        base = base.join(
+            pubdates.select("doc_id", F.col("pubdate").cast("string").alias("pubdate")),
+            "doc_id", "left",
+        )
+    else:
+        base = base.withColumn("pubdate", F.lit(None).cast("string"))
     # doc_id type follows the input (url string or hashed long key)
     id_type = dict(events.dtypes)["doc_id"]
     return base.groupBy("doc_id").applyInPandas(

@@ -561,10 +561,11 @@ def q25_event_coref(spark, sf_dir):
     threshold link_coref.py:2041-2044) over the deterministic synth
     corpus -> cluster-size histogram.  applyInPandas per doc; not
     SQL-expressible (iterative average-linkage clustering)."""
+    from .functions.text import extract_pubdate_raw
     from .operators.coref import cluster_events
     from .operators.linking import extract_arguments, extract_events, link
     from .operators.roles import assign_roles
-    from .pipeline import tagged_tokens
+    from .pipeline import doc_key, tagged_tokens
     from .sources.documents import synth_documents
     from .util import materialize
 
@@ -572,7 +573,11 @@ def q25_event_coref(spark, sf_dir):
     tagged = tagged_tokens(docs, id_col="url", mode="rules")
     events = materialize(extract_events(tagged, carry=["realis"]))
     linked = assign_roles(link(events, extract_arguments(tagged, carry=["role"]), tagged))
-    clusters = cluster_events(events, linked)
+    pubdates = docs.select(
+        doc_key(F.col("url")).alias("doc_id"),
+        extract_pubdate_raw(F.col("html").cast("string")).alias("pubdate"),
+    )
+    clusters = cluster_events(events, linked, pubdates=pubdates)
     sizes = clusters.groupBy("doc_id", "cluster_id").agg(F.count("*").alias("sz"))
     return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).orderBy("sz")
 

@@ -66,7 +66,16 @@ def build_graph(documents: DataFrame, mode: str = "rules", gold=None,
     events = truncate(_restore(events))
     linked = truncate(_restore(linked))
 
-    clusters = cluster_events(events, linked)
+    # timedist needs each document's <date> header; EVENT-scale join
+    pubdates = None
+    if "html" in documents.columns:
+        from ..functions.text import extract_pubdate_raw
+
+        pubdates = documents.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            extract_pubdate_raw(F.col("html").cast("string")).alias("pubdate"),
+        )
+    clusters = cluster_events(events, linked, pubdates=pubdates)
     d = dictionary if dictionary is not None else build_dictionary(spark)
     canon = canonicalize_surfaces(
         linked.withColumn("obj_surface", F.col("arg_text")), d, "obj_surface"
