@@ -1,6 +1,6 @@
-"""Model-inference tagging stage: Arrow-batched scalar ``pandas_udf``
-with broadcast numpy weights — the distributed-inference harness for
-the reference's BiLSTM-CRF stages (SURVEY.md §2.10).
+"""Model-inference tagging stage: Arrow-batched ``mapInPandas`` with
+broadcast numpy weights — the distributed-inference harness for the
+reference's BiLSTM-CRF stages (SURVEY.md §2.10).
 
 The reference loads Keras models once and loops documents sequentially
 (link_coref.py:89-119, :1960-1968, :1978).  Here the same contract is a
@@ -11,19 +11,21 @@ DataFrame stage:
   "load model once" optimization, S5 in SURVEY §2.1);
 - inference is numpy table-gathers over whole Arrow batches (the
   analog of the reference's batched ``model.predict``,
-  nug_arg_detection.py:320) followed by ``argmax`` (P5) inside the
-  UDF; tokens are dictionary-encoded with a hashed vocab, OOV=1/PAD=0
-  reserved exactly like x2index.py:20-26 (F11);
+  nug_arg_detection.py:320) followed by per-sentence VITERBI decoding
+  with trained transition scores — the CRF layer of the reference
+  model (nug_arg_detection.py:199-202) — falling back to per-token
+  argmax (P5) for weights without transitions; tokens are
+  dictionary-encoded with a hashed vocab, OOV=1/PAD=0 reserved exactly
+  like x2index.py:20-26 (F11);
 - the emitted columns are the same tagging contract as ``tag_rules``
   (trigger_tag / arg_tag), so the downstream linking DAG is untouched.
 
-The inference expression is a SCALAR pandas_udf, not mapInPandas: an
-expression leaves the plan node's attribute ids intact, so the lag /
-lead context columns before it and the BIO-assembly windows after it
-all ride the pipeline's single doc_id exchange (mapInPandas emits
-fresh attribute ids, which forced a second token-stream shuffle).
-Context features (prev/next token) are computed JVM-side as window
-columns, so Arrow batch boundaries can never truncate a context — the
+The inference stage is mapInPandas on the PRE-exchange side of the
+pipeline's single doc_id repartition (Python-eval plan nodes do not
+propagate partitioning, so the exchange must sit above them — the
+one-token-shuffle plan invariant of tests/test_plans.py holds).
+Viterbi needs whole sentences; the decoder buffers the trailing
+incomplete sentence of each Arrow batch into the next one, so the
 prediction is bit-for-bit independent of batching and partitioning.
 
 Two weight providers:
@@ -47,7 +49,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from .. import config
 
@@ -160,26 +161,111 @@ def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray
 class TaggerWeights:
     """Per-head scorer.  Without context tables: logits = W[token_id]
     (the distilled unigram model).  With them: logits = sum of one
-    gather per feature table + bias — the trained linear model.  Swap
-    in richer tables (and a richer ``score``) for sequence models."""
+    gather per feature table + bias — the trained linear model.  With
+    transition matrices additionally present, ``decode`` runs
+    per-sentence Viterbi over the label sequence — the CRF decoding
+    capability of the reference's BiLSTM-CRF layer
+    (nug_arg_detection.py:199-202), trained as a structured perceptron
+    (operators/train_tagger.py)."""
     w_trigger: np.ndarray  # (VOCAB_SIZE, len(trigger_labels)) float32
     w_arg: np.ndarray      # (VOCAB_SIZE, len(arg_labels)) float32
     trigger_labels: list[str] = field(default_factory=lambda: list(TRIGGER_LABELS))
     arg_labels: list[str] = field(default_factory=lambda: list(ARG_LABELS))
     trig_ctx: dict[str, np.ndarray] | None = None
     arg_ctx: dict[str, np.ndarray] | None = None
+    trig_trans: dict[str, np.ndarray] | None = None  # {"trans": LxL, "start": L}
+    arg_trans: dict[str, np.ndarray] | None = None
+
+    def _logits(self, f: dict[str, np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        if self.trig_ctx is None:
+            return self.w_trigger[f["s0"]], self.w_arg[f["t0"]]
+        return _ctx_logits(self.trig_ctx, f), _ctx_logits(self.arg_ctx, f)
 
     def score(self, toks: list, prevs: list, nexts: list
               ) -> tuple[np.ndarray, np.ndarray]:
-        """Batch -> (trigger label indices, arg label indices)."""
+        """Batch -> (trigger label indices, arg label indices) by
+        per-token argmax (no sequence structure)."""
         f = feature_arrays(toks, prevs, nexts)
-        if self.trig_ctx is None:
-            trig_logits = self.w_trigger[f["s0"]]
-            arg_logits = self.w_arg[f["t0"]]
-        else:
-            trig_logits = _ctx_logits(self.trig_ctx, f)
-            arg_logits = _ctx_logits(self.arg_ctx, f)
+        trig_logits, arg_logits = self._logits(f)
         return trig_logits.argmax(axis=1), arg_logits.argmax(axis=1)
+
+    def decode(self, toks: list, prevs: list, nexts: list,
+               sent_starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Sentence-structured decode: Viterbi per sentence when the
+        head has trained transitions, per-token argmax otherwise.
+        ``sent_starts``: sorted indices where a new sentence begins
+        (must include 0)."""
+        f = feature_arrays(toks, prevs, nexts)
+        trig_logits, arg_logits = self._logits(f)
+        out = []
+        for logits, tr in ((trig_logits, self.trig_trans),
+                           (arg_logits, self.arg_trans)):
+            if tr is None:
+                out.append(logits.argmax(axis=1))
+            else:
+                out.append(viterbi_segments(
+                    logits.astype(np.float32), sent_starts,
+                    tr["trans"], tr["start"]))
+        return out[0], out[1]
+
+
+def viterbi_segments(logits: np.ndarray, starts: np.ndarray,
+                     trans: np.ndarray, start_scores: np.ndarray) -> np.ndarray:
+    """Vectorized Viterbi over concatenated variable-length segments.
+
+    logits (n, L) are the emission scores of all tokens of a block;
+    ``starts`` marks segment beginnings.  Segments are bucketed by
+    length so one pathological 500-token sentence cannot inflate the
+    padded (S, T, L) tensors of 20-token ones.  Returns the flat label
+    path (n,)."""
+    n, L = logits.shape
+    if n == 0:
+        return np.zeros(0, np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    lengths = ends - starts
+    out = np.zeros(n, np.int64)
+    for lo, hi in ((1, 16), (17, 64), (65, 1 << 30)):
+        sel = np.flatnonzero((lengths >= lo) & (lengths <= hi))
+        if not len(sel):
+            continue
+        _viterbi_bucket(logits, starts[sel], lengths[sel], trans,
+                        start_scores, out)
+    return out
+
+
+def _viterbi_bucket(logits, starts, lengths, trans, start_scores, out):
+    S = len(starts)
+    T = int(lengths.max())
+    L = logits.shape[1]
+    sent_of = np.repeat(np.arange(S), lengths)
+    pos_of = np.arange(len(sent_of)) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths)
+    flat_idx = np.repeat(starts, lengths) + pos_of
+    em = np.full((S, T, L), -1e30, np.float32)
+    em[sent_of, pos_of] = logits[flat_idx]
+
+    dp = em[:, 0, :] + start_scores[None, :]
+    final_dp = dp.copy()
+    back = np.zeros((S, T, L), np.int8)
+    for t in range(1, T):
+        cand = dp[:, :, None] + trans[None, :, :]   # (S, from, to)
+        b = cand.argmax(axis=1)
+        dp_t = np.take_along_axis(cand, b[:, None, :], 1)[:, 0, :] + em[:, t, :]
+        back[:, t] = b
+        active = lengths > t
+        dp = np.where(active[:, None], dp_t, dp)
+        last = lengths == t + 1
+        if last.any():
+            final_dp[last] = dp_t[last]
+
+    labels = np.zeros((S, T), np.int64)
+    labels[np.arange(S), lengths - 1] = final_dp.argmax(axis=1)
+    for t in range(T - 1, 0, -1):
+        active = lengths > t
+        prev_lab = back[np.arange(S), t, labels[:, t]]
+        labels[active, t - 1] = prev_lab[active]
+    out[flat_idx] = labels[sent_of, pos_of]
 
 
 def _ctx_logits(tables: dict[str, np.ndarray], f: dict[str, np.ndarray]
@@ -260,19 +346,29 @@ def distill_rule_weights() -> TaggerWeights:
     return TaggerWeights(wt, wa)
 
 
-_CACHED_WEIGHTS: TaggerWeights | None = None
+# keyed by path (ADVICE r2: a global single-slot cache pinned the first
+# result and ignored the path argument of later calls)
+_CACHED_WEIGHTS: dict[str, TaggerWeights] = {}
 
 
 def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
     """Trained artifact if present, else the distilled fallback.
-    Cached per process (the driver builds the broadcast from it)."""
-    global _CACHED_WEIGHTS
-    if _CACHED_WEIGHTS is not None:
-        return _CACHED_WEIGHTS
+    Cached per (process, path) — the driver builds the broadcast from
+    it.  ``invalidate_weight_cache`` drops entries after retraining."""
+    cached = _CACHED_WEIGHTS.get(path)
+    if cached is not None:
+        return cached
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)
         trig_ctx = {k: z[f"trig_{k}"].astype(np.float32) for k in _CTX_KEYS}
         arg_ctx = {k: z[f"arg_{k}"].astype(np.float32) for k in _CTX_KEYS}
+
+        def _trans(head):
+            if f"{head}_trans" not in z.files:
+                return None
+            return {"trans": z[f"{head}_trans"].astype(np.float32),
+                    "start": z[f"{head}_start"].astype(np.float32)}
+
         w = TaggerWeights(
             w_trigger=np.zeros((VOCAB_SIZE, len(TRIGGER_LABELS)), np.float32),
             w_arg=np.zeros((VOCAB_SIZE, len(GOLD_ARG_LABELS)), np.float32),
@@ -280,11 +376,21 @@ def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
             arg_labels=[str(s) for s in z["arg_labels"]],
             trig_ctx=trig_ctx,
             arg_ctx=arg_ctx,
+            trig_trans=_trans("trig"),
+            arg_trans=_trans("arg"),
         )
     else:  # pragma: no cover - artifact is committed
         w = distill_rule_weights()
-    _CACHED_WEIGHTS = w
+    _CACHED_WEIGHTS[path] = w
     return w
+
+
+def invalidate_weight_cache(path: str | None = None) -> None:
+    """Drop cached weights (all paths, or one) after saving an artifact."""
+    if path is None:
+        _CACHED_WEIGHTS.clear()
+    else:
+        _CACHED_WEIGHTS.pop(path, None)
 
 
 def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFrame:
@@ -292,44 +398,73 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
     inference.  Regex/shape argument classes (CVE, Version, Money,
     Number, year) stay JVM-side — they backstop the model exactly like
     the reference's findargument rules (link_coref.py:751-786)."""
+    from pyspark.sql import types as T
+
     spark = tokens.sparkSession
     if weights is None:
         weights = load_weights()
     bc = spark.sparkContext.broadcast(weights)
 
-    @pandas_udf("trig string, arg string")
-    def predict(tok: pd.Series, ptok: pd.Series, ntok: pd.Series) -> pd.DataFrame:
-        w = bc.value  # one deserialization per worker, reused per batch
-        ti, ai = w.score(tok.astype(str).tolist(), ptok.tolist(), ntok.tolist())
-        return pd.DataFrame({
-            "trig": np.array(w.trigger_labels, dtype=object)[ti],
-            "arg": np.array(w.arg_labels, dtype=object)[ai],
-        })
-
-    # Python-eval plan nodes (ArrowEvalPython) do not propagate the
-    # child's partitioning, so everything AFTER the inference
-    # expression that needs doc_id clustering would re-shuffle the
-    # token stream.  Therefore: consume the tokenizer's precomputed
-    # sentence-context columns when present (tokenize(context=True)),
-    # run inference pre-exchange, and let the ONE explicit doc_id
-    # repartition sit above it — all BIO/dominant windows ride that.
-    # Without precomputed context (generic callers), fall back to
-    # lag/lead windows, which costs a second exchange.
-    if "_ptok" in tokens.columns:
-        df = tokens
-    else:
-        wsent = Window.partitionBy("doc_id", "sent_id").orderBy("token_id")
-        df = (
-            tokens
-            .withColumn("_ptok", F.lag("token", 1).over(wsent))
-            .withColumn("_ntok", F.lead("token", 1).over(wsent))
-        )
-    df = (
-        df.withColumn("_m", predict(F.col("token"), F.col("_ptok"), F.col("_ntok")))
-        .withColumn("_m_trig", F.col("_m.trig"))
-        .withColumn("_m_arg", F.col("_m.arg"))
-        .drop("_m", "_ptok", "_ntok")
+    # Sentence-structured inference must see whole sentences (Viterbi
+    # over the label sequence), so the stage is mapInPandas directly on
+    # the tokenizer's output stream — BEFORE the pipeline's one doc_id
+    # exchange (Python-eval plan nodes do not propagate partitioning,
+    # so anything windows need must sit above them; the explicit
+    # repartition below owns that).  The token stream arrives in
+    # (doc, sent, token) emission order inside each partition; Arrow
+    # batch boundaries can split a sentence, so the decoder carries the
+    # trailing incomplete sentence into the next batch — predictions
+    # are bit-for-bit independent of batching and partitioning.
+    # Sentence context (prev/next token) is derived from the sentence
+    # rows themselves; tokenizer context columns are no longer needed.
+    src = tokens.drop("_ptok", "_ntok")
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("_m_trig", T.StringType()),
+           T.StructField("_m_arg", T.StringType())]
     )
+
+    def decode_stream(batches):
+        w = bc.value  # one deserialization per worker, reused per batch
+        tl = np.array(w.trigger_labels, dtype=object)
+        al = np.array(w.arg_labels, dtype=object)
+
+        def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            doc = pdf["doc_id"].to_numpy()
+            sent = pdf["sent_id"].to_numpy()
+            new_sent = np.ones(n, dtype=bool)
+            if n > 1:
+                new_sent[1:] = (doc[1:] != doc[:-1]) | (sent[1:] != sent[:-1])
+            toks = pdf["token"].astype(str).tolist()
+            prevs = [None if new_sent[i] else toks[i - 1] for i in range(n)]
+            nexts = [toks[i + 1] if i + 1 < n and not new_sent[i + 1] else None
+                     for i in range(n)]
+            ti, ai = w.decode(toks, prevs, nexts, np.flatnonzero(new_sent))
+            res = pdf.copy()
+            res["_m_trig"] = tl[ti]
+            res["_m_arg"] = al[ai]
+            return res
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            doc = pdf["doc_id"].to_numpy()
+            sent = pdf["sent_id"].to_numpy()
+            tail = (doc == doc[-1]) & (sent == sent[-1])
+            n_tail = len(pdf) if tail.all() else int(tail[::-1].argmin())
+            carry = pdf.iloc[len(pdf) - n_tail:].reset_index(drop=True)
+            head = pdf.iloc[: len(pdf) - n_tail]
+            if len(head):
+                yield _block(head)
+        if carry is not None and len(carry):
+            yield _block(carry)
+
+    df = src.mapInPandas(decode_stream, schema=out_schema)
     df = df.repartition(F.col("doc_id"))
 
     # JVM-side shape/regex argument classes + BIO assembly (shared

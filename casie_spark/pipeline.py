@@ -42,10 +42,25 @@ def doc_key(col):
     """Internal 8-byte document key: xxhash64 of the url/id string.
     Token-stream sorts, shuffles and caches compare longs instead of
     ~30-char urls — a large memory-bandwidth saving on the window-heavy
-    tagging DAG.  Collision odds are n²/2^65 (~3% expected collisions
-    at 10^12 docs — at true web scale widen to a 128-bit key); the
-    public triple output maps back to urls via a join."""
+    tagging DAG.  Birthday-bound collision estimate: expected colliding
+    PAIRS ≈ n²/2^65, i.e. ≈ 2.7x10^4 pairs (≈ 0.000003% of docs) at
+    n = 10^12 — negligible for analytics, but a dedup/exact-provenance
+    run at that scale should use :func:`doc_key128`.  The public triple
+    output maps back to urls via a join either way."""
     return F.xxhash64(col.cast("string"))
+
+
+def doc_key128(col):
+    """16-byte document key for true web scale: two independently
+    salted xxhash64 halves packed into a struct — expected colliding
+    pairs ≈ n²/2^129 (~10^-15 at n = 10^12).  Struct keys hash, sort
+    and join natively; use where an 8-byte key's ~10^4 colliding pairs
+    per 10^12 docs matter (exact dedup ledgers, provenance joins)."""
+    s = col.cast("string")
+    return F.struct(
+        F.xxhash64(s).alias("h0"),
+        F.xxhash64(s, F.lit(0x9E3779B9)).alias("h1"),
+    )
 
 
 def tagged_tokens(documents: DataFrame, id_col: str = "url",
@@ -63,10 +78,11 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
     (sorts instead of shuffles).
     """
     docs = salt_repartition(documents, id_col)
-    # mode="model" asks the tokenizer for sentence-context columns so
-    # the inference expression can run BEFORE the doc_id exchange
-    # (tag_model owns that exchange; see its partitioning note)
-    ctx = mode == "model"
+    # mode="model" runs inference BEFORE the doc_id exchange (tag_model
+    # owns that exchange; see its partitioning note); its mapInPandas
+    # decoder derives sentence context from the token rows itself, so
+    # the tokenizer's context columns are not needed
+    ctx = False
     if hash_ids:
         docs = docs.withColumn("_doc_key", doc_key(F.col(id_col)))
         toks = tokenize(docs, id_col="_doc_key", id_type="long", context=ctx)

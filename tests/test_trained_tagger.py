@@ -1,7 +1,10 @@
-"""Quality gate for the trained tagger (VERDICT r1 #1): mention-level
-Dice F1 on the full 1,000-article CASIE corpus must beat the rule
-floor decisively.  Round-1 model-free floor: nugget F1 0.243; trained
-artifact: nugget ~0.74 / argument ~0.75 (BASELINE.md)."""
+"""Quality gate for the trained tagger (VERDICT r1 #1, r2 #4):
+mention-level Dice F1 on the full 1,000-article CASIE corpus must beat
+the rule floor decisively, and — since the r3 Viterbi decode — hold
+the precision side too.  Round-1 model-free floor: nugget F1 0.243;
+r2 argmax artifact: nugget P .611/F1 .744; r3 Viterbi artifact
+(λ=2.5 transitions): nugget P .711/R .888/F1 .790, argument P .793/
+F1 .809 (BASELINE.md)."""
 
 from __future__ import annotations
 
@@ -28,10 +31,13 @@ def test_trained_tagger_beats_rule_floor(spark):
     from casie_spark.operators.train_tagger import evaluate
 
     m = evaluate(spark, "model")
-    assert m["nugget"]["f1"] >= 0.6, m["nugget"]
-    assert m["argument"]["f1"] >= 0.6, m["argument"]
-    # the model must over-predict mentions by at most ~2x gold
-    assert m["nugget"]["n_pred"] <= 2 * m["nugget"]["n_gold"], m["nugget"]
+    assert m["nugget"]["precision"] >= 0.70, m["nugget"]
+    assert m["nugget"]["f1"] >= 0.78, m["nugget"]
+    assert m["argument"]["f1"] >= 0.80, m["argument"]
+    # recall must not collapse under the transition term
+    assert m["nugget"]["recall"] >= 0.85, m["nugget"]
+    # the model must over-predict mentions by at most ~1.5x gold
+    assert m["nugget"]["n_pred"] <= 1.5 * m["nugget"]["n_gold"], m["nugget"]
 
 
 def test_score_deterministic_across_calls():
@@ -47,8 +53,9 @@ def test_score_deterministic_across_calls():
 
 def test_end_to_end_triple_quality_gate(spark):
     """The full trained stack (tagger + role-phrase + realis) must hold
-    the corpus-level exact-four-tuple triple quality (r2: P .441 /
-    R .562 / F1 .494; rules floor .022)."""
+    the corpus-level exact-four-tuple triple quality (r3 Viterbi
+    artifact: P .513 / R .496 / F1 .505; r2 argmax: P .441 / R .562 /
+    F1 .494; rules floor .022)."""
     from pyspark.sql import functions as F
 
     from casie_spark.pipeline import run_pipeline
@@ -60,5 +67,6 @@ def test_end_to_end_triple_quality_gate(spark):
     pred = run_pipeline(docs, id_col="doc_id", mode="model")
     m = triple_prf(pred, gold_triples(ann))
     ann.unpersist()
-    assert m["f1"] >= 0.45, m
-    assert m["recall"] >= 0.50, m
+    assert m["f1"] >= 0.48, m
+    assert m["precision"] >= 0.48, m
+    assert m["recall"] >= 0.46, m
