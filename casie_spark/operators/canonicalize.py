@@ -50,6 +50,32 @@ def build_dictionary(spark: SparkSession, extra: DataFrame | None = None) -> Dat
     return df
 
 
+def default_dictionary(spark: SparkSession) -> DataFrame:
+    """The dictionary graph builds use when the caller passes none:
+    the vendor seed table plus the gold ``external_reference.
+    wikidataid`` anchors whenever the reference annotations are
+    readable (r2 VERDICT missing #5 — the 4,613-anchor dictionary
+    existed but nothing defaulted it in).  Anchors win surface
+    conflicts (a ``wd:`` id is the stronger canonical form than a
+    ``vendor:`` slug); the anti-join keeps the union deterministic.
+    Still a broadcast-scale frame (~4.6k rows) — truncated to a plan
+    leaf so the annotation-JSON parse lineage (a ~MB analyzed-plan
+    string) never renders inside the downstream canonicalize joins
+    (the maxPlanStringLength regression gate, CLAUDE.md)."""
+    import glob
+
+    base = build_dictionary(spark)
+    if not glob.glob("/root/reference/data/annotation/*.json"):
+        return base
+    from ..sources.annotations import gold_arguments, load_annotations
+    from ..util import truncate
+
+    anchors = wikidata_anchors(gold_arguments(load_annotations(spark)))
+    return truncate(anchors.unionByName(
+        base.join(anchors.select("surface"), "surface", "left_anti")
+    ))
+
+
 def wikidata_anchors(gold_arguments: DataFrame) -> DataFrame:
     """Dictionary entries from the gold external_reference.wikidataid
     anchors (4,613 arguments carry one — SURVEY.md section 1.3)."""

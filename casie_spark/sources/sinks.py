@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .. import manifests
 from ..util import materialize, truncate
-from ..operators.canonicalize import build_dictionary, canonicalize_surfaces
+from ..operators.canonicalize import canonicalize_surfaces, default_dictionary
 from ..operators.coref import cluster_events
 from ..pipeline import tagged_tokens
 from ..operators.linking import extract_arguments, extract_events, link
@@ -76,7 +76,7 @@ def build_graph(documents: DataFrame, mode: str = "rules", gold=None,
             extract_pubdate_raw(F.col("html").cast("string")).alias("pubdate"),
         )
     clusters = cluster_events(events, linked, pubdates=pubdates)
-    d = dictionary if dictionary is not None else build_dictionary(spark)
+    d = dictionary if dictionary is not None else default_dictionary(spark)
     canon = canonicalize_surfaces(
         linked.withColumn("obj_surface", F.col("arg_text")), d, "obj_surface"
     ).withColumnRenamed("canonical_id", "obj_id")

@@ -20,10 +20,12 @@ def test_build_and_write_graph(spark, tmp_path):
     e = spark.read.parquet(out + "/edges")
     v = spark.read.parquet(out + "/vertices")
     assert e.count() > 0 and v.count() > 0
-    # canonical ids resolve: CVE surfaces normalized, vendors mapped
+    # canonical ids resolve: CVE surfaces normalized; entity surfaces
+    # map to the gold wikidata anchors (default_dictionary, r2 VERDICT
+    # missing #5 — anchors win conflicts over the vendor: seed slugs)
     cves = e.filter(F.col("obj_id").rlike("^CVE-")).count()
-    vendors = e.filter(F.col("obj_id").startswith("vendor:")).count()
-    assert cves > 0 and vendors > 0
+    wd = e.filter(F.col("obj_id").startswith("wd:")).count()
+    assert cves > 0 and wd > 0
     # edge partitions pruned by event_subtype
     assert "event_subtype" in e.columns
     kinds = {r["kind"] for r in v.select("kind").distinct().collect()}
