@@ -169,6 +169,101 @@ def mention_dice_f1_exact(pred_spans: DataFrame,
             "precision": precision, "recall": recall, "f1": f1}
 
 
+def confusion_matrix(tagged: DataFrame, gold_col: str = "gold_tag",
+                     pred_col: str = "pred_tag",
+                     mode: str = "label") -> DataFrame:
+    """Token-level confusion counts, reference semantics
+    (score.py:253-341):
+
+    - ``mode="label"`` (confusion_label :253-295): only tokens whose
+      gold tag is ``O`` or begins a span (``B-``) are counted — the
+      span-begin confusion view; gold ``I-`` continuations are skipped.
+    - ``mode="token"`` (confusion_token :299-341): every token.
+
+    Both axes strip the BIO prefix (``B-X``/``I-X`` -> ``X``; ``O``
+    stays ``O``), exactly as the reference prints its matrix.  Returns
+    long-format (gold_label, pred_label, n) — at most L² rows, so the
+    pivot/print is a trivial driver-side step while the count itself is
+    one map-side-combinable aggregation."""
+    if mode not in ("label", "token"):
+        raise ValueError(f"mode must be 'label' or 'token', got {mode!r}")
+    g, p = F.col(gold_col), F.col(pred_col)
+    df = tagged
+    if mode == "label":
+        df = df.filter(g.startswith("B-") | (g == "O"))
+    strip = lambda c: F.regexp_replace(c, "^[BI]-", "")  # noqa: E731
+    return (
+        df.groupBy(
+            strip(g).alias("gold_label"), strip(p).alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("gold_label", "pred_label")
+    )
+
+
+def per_class_report(tagged: DataFrame, gold_col: str = "gold_tag",
+                     pred_col: str = "pred_tag",
+                     exclude: tuple = ("O", "-PAD-", "-OOV-")) -> DataFrame:
+    """Per-class token-level precision/recall/F1/support — the
+    reference's ``classification_report`` printout (report.py:17-41;
+    labels are the raw BIO tags, ``O``/``-PAD-``/``-OOV-`` excluded,
+    sorted by name :26,:37).
+
+    One aggregation: each token contributes a (gold-label, tp?) row and
+    a (pred-label, predicted) row; the groupBy on label gives tp /
+    n_gold / n_pred per class, from which P = tp/n_pred, R = tp/n_gold.
+    Returns (label, precision, recall, f1, support) — bounded at the
+    label inventory, shuffle on a ~50-value key."""
+    g, p = F.col(gold_col), F.col(pred_col)
+    pairs = tagged.select(
+        F.explode(F.array(
+            F.struct(
+                g.alias("label"), F.lit(1).alias("n_gold"),
+                F.when(p == g, 1).otherwise(0).alias("tp"),
+                F.lit(0).alias("n_pred"),
+            ),
+            F.struct(
+                p.alias("label"), F.lit(0).alias("n_gold"),
+                F.lit(0).alias("tp"), F.lit(1).alias("n_pred"),
+            ),
+        )).alias("s")
+    ).select("s.*")
+    agg = (
+        pairs.groupBy("label")
+        .agg(F.sum("n_gold").alias("support"), F.sum("tp").alias("tp"),
+             F.sum("n_pred").alias("n_pred"))
+        .filter(~F.col("label").isin(*exclude))
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0)
+    out = agg.select(
+        "label", prec.alias("precision"), rec.alias("recall"), "support",
+    ).withColumn(
+        "f1",
+        F.when(F.col("precision") + F.col("recall") > 0,
+               2 * F.col("precision") * F.col("recall")
+               / (F.col("precision") + F.col("recall"))).otherwise(0.0),
+    ).select("label", "precision", "recall", "f1", "support")
+    return out.orderBy("label")
+
+
+def report_summary(report: DataFrame) -> dict:
+    """Macro/weighted averages over a ``per_class_report`` frame — the
+    classification_report footer rows.  Driver-side over ≤ L rows."""
+    rows = report.collect()
+    n = len(rows)
+    tot = sum(r["support"] for r in rows) or 1
+    if not n:
+        return {"macro_precision": 0.0, "macro_recall": 0.0, "macro_f1": 0.0,
+                "weighted_f1": 0.0, "n_classes": 0}
+    return {
+        "macro_precision": sum(r["precision"] for r in rows) / n,
+        "macro_recall": sum(r["recall"] for r in rows) / n,
+        "macro_f1": sum(r["f1"] for r in rows) / n,
+        "weighted_f1": sum(r["f1"] * r["support"] for r in rows) / tot,
+        "n_classes": n,
+    }
+
+
 def b_cubed_f1(pred_clusters: DataFrame, gold_clusters: DataFrame) -> dict:
     """B-cubed coreference P/R/F1 (Bagga & Baldwin 1998): per mention,
     precision = |pred-cluster ∩ gold-cluster| / |pred-cluster| and

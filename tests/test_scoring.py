@@ -148,6 +148,111 @@ def test_exact_scorer_agrees_on_clean_inputs(spark):
     assert exact["dice_sum"] == pytest.approx(approx["dice_sum"])
 
 
+# token stream with BIO gold/pred tags for the confusion/report tests:
+# (doc, sent, word, gold, pred)
+TOKENS = [
+    ("d1", 0, 0, "B-Databreach", "B-Databreach"),   # correct begin
+    ("d1", 0, 1, "I-Databreach", "I-Phishing"),     # continuation confused
+    ("d1", 0, 2, "O", "B-Phishing"),                # false positive
+    ("d1", 0, 3, "O", "O"),                         # true negative
+    ("d1", 1, 0, "B-Phishing", "O"),                # missed begin
+    ("d1", 1, 1, "B-Ransom", "I-Ransom"),           # right type, wrong prefix
+    ("d2", 0, 0, "B-Databreach", "B-Phishing"),     # wrong type
+    ("d2", 0, 1, "I-Databreach", "O"),              # missed continuation
+]
+SELECTED = ["O", "B-Databreach", "B-Phishing", "B-Ransom"]
+
+
+def _token_df(spark):
+    return spark.createDataFrame(
+        TOKENS, "doc_id string, sent_id int, token_id int, "
+                "gold_tag string, pred_tag string")
+
+
+def _raw_dict():
+    out = {}
+    for doc, sent, word, gold, pred in TOKENS:
+        out.setdefault(doc, {}).setdefault(sent, {})[word] = {
+            "gold": gold, "pred": pred}
+    return out
+
+
+def _ref_confusion(ref_score, fn):
+    """Run the reference matrix printer, parse non-zero cells."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(None, None, SELECTED, _raw_dict())
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    cols = lines[0].split()[:-1]  # drop 'total'
+    cells = {}
+    for ln in lines[1:]:
+        parts = ln.split("\t")
+        gold_label = parts[0]
+        for c, v in zip(cols, parts[1:]):
+            if int(v):
+                cells[(gold_label, c)] = int(v)
+    return cells
+
+
+@pytest.mark.parametrize("mode,ref_fn", [("label", "confusion_label"),
+                                         ("token", "confusion_token")])
+def test_confusion_matrix_matches_reference(spark, ref_score, mode, ref_fn):
+    """Differential vs the reference matrix printers (score.py:253-341)
+    on a stream covering begin/continuation/miss/false-positive/
+    wrong-type cells."""
+    want = _ref_confusion(ref_score, getattr(ref_score, ref_fn))
+    from casie_spark.scoring import confusion_matrix
+
+    got = {
+        (r["gold_label"], r["pred_label"]): r["n"]
+        for r in confusion_matrix(_token_df(spark), mode=mode).collect()
+    }
+    assert got == want
+
+
+def test_confusion_matrix_label_mode_hand_check(spark):
+    """label mode skips gold I- rows: d1/0/1 and d2/0/1 are absent;
+    the B-Ransom/I-Ransom token folds to (Ransom, Ransom)."""
+    from casie_spark.scoring import confusion_matrix
+
+    got = {
+        (r["gold_label"], r["pred_label"]): r["n"]
+        for r in confusion_matrix(_token_df(spark), mode="label").collect()
+    }
+    assert got == {
+        ("Databreach", "Databreach"): 1,
+        ("Databreach", "Phishing"): 1,
+        ("O", "Phishing"): 1,
+        ("O", "O"): 1,
+        ("Phishing", "O"): 1,
+        ("Ransom", "Ransom"): 1,
+    }
+
+
+def test_per_class_report_hand_check(spark):
+    """classification_report semantics (report.py:17-41): raw BIO tags
+    as classes, O excluded, P = tp/n_pred, R = tp/support."""
+    from casie_spark.scoring import per_class_report, report_summary
+
+    rows = {r["label"]: r for r in per_class_report(_token_df(spark)).collect()}
+    assert set(rows) == {"B-Databreach", "I-Databreach", "B-Phishing",
+                         "I-Phishing", "B-Ransom", "I-Ransom"}
+    # B-Databreach: gold 2 (d1/0/0, d2/0/0), pred 1 (d1/0/0, correct)
+    r = rows["B-Databreach"]
+    assert r["support"] == 2 and r["precision"] == pytest.approx(1.0)
+    assert r["recall"] == pytest.approx(0.5)
+    assert r["f1"] == pytest.approx(2 / 3)
+    # B-Phishing: gold 1 (missed), pred 2 (both wrong) -> all zero
+    r = rows["B-Phishing"]
+    assert r["support"] == 1 and r["precision"] == 0.0 and r["recall"] == 0.0
+    # I-Phishing: gold 0, pred 1 -> support 0, P 0 (tp=0), R 0
+    r = rows["I-Phishing"]
+    assert r["support"] == 0 and r["precision"] == 0.0
+    s = report_summary(per_class_report(_token_df(spark)))
+    assert s["n_classes"] == 6
+    assert s["macro_f1"] == pytest.approx((2 / 3) / 6)
+
+
 def test_triple_prf_basic(spark):
     pred = spark.createDataFrame(
         [("d1", 0, "Victim", 10), ("d1", 0, "CVE", 20), ("d1", 5, "Time", 30)],
