@@ -51,12 +51,22 @@ def fake_wordpieces(token: str, max_piece: int = 6) -> list[str]:
     return out
 
 
-def fake_bert_encoder(pieces: list[str], dim: int = BERT_DIM) -> np.ndarray:
+def fake_bert_encoder(sent_pieces, dim: int = BERT_DIM) -> np.ndarray:
     """STUB encoder: per-piece seeded standard-normal vector (crc32
-    seed) — deterministic across workers/sessions, no context mixing
-    (a real encoder is contextual; the harness does not care)."""
-    out = np.zeros((len(pieces), dim), dtype=np.float32)
-    for i, p in enumerate(pieces):
+    seed) — deterministic across workers/sessions/batch shapes, no
+    context mixing (a real encoder is contextual; the harness does not
+    care).
+
+    Contract (what a real client implements): input is a list of
+    per-sentence piece lists — ONE call per Arrow batch, so the callee
+    can pad/batch sentences for the accelerator — output is the flat
+    (total_pieces, dim) concatenation in input order.  A flat list of
+    piece strings is also accepted (treated as one sentence)."""
+    if sent_pieces and isinstance(sent_pieces[0], str):
+        sent_pieces = [sent_pieces]
+    flat = [p for sp in sent_pieces for p in sp]
+    out = np.zeros((len(flat), dim), dtype=np.float32)
+    for i, p in enumerate(flat):
         rng = np.random.default_rng(zlib.crc32(p.encode("utf-8")))
         out[i] = rng.standard_normal(dim).astype(np.float32)
     return out
@@ -77,8 +87,13 @@ def bert_tag(tokens: DataFrame,
     """tokens -> (doc_id, sent_id, token_id, token, bert_tag).
 
     Whole-sentence grouping (rides the doc_id partitioning via the
-    clustering subset rule), then one Arrow pass per sentence batch:
-    pieces -> vectors -> J9 alignment -> head logits -> argmax."""
+    clustering subset rule), then BLOCK-WISE inference per Arrow
+    batch: all sentences' pieces are flattened into ONE ``encoder``
+    call (the callee sees sentence boundaries and can pad/batch for
+    an accelerator) and all aligned token vectors into ONE head
+    matmul — no per-sentence Python round trips, so a real encoder
+    drop-in is batch-efficient.  Per-sentence work is only the J9
+    running-average alignment (cheap numpy)."""
     spark = tokens.sparkSession
     head = default_head() if head is None else head
     labels = list(BERT_LABELS) if labels is None else labels
@@ -97,28 +112,54 @@ def bert_tag(tokens: DataFrame,
         w, labs = bc.value
         labs = np.array(labs, dtype=object)
         for pdf in batches:
-            rows = {k: [] for k in
-                    ("doc_id", "sent_id", "token_id", "token", "bert_tag")}
-            for _, r in pdf.iterrows():
-                toks = [t["token"] for t in r["_toks"]]
-                tids = [t["token_id"] for t in r["_toks"]]
+            # phase 1: tokenize every sentence, flatten pieces
+            sent_toks, sent_tids, sent_pieces = [], [], []
+            bounds = []
+            off = 0
+            for toks_struct in pdf["_toks"]:
+                toks = [t["token"] for t in toks_struct]
+                tids = [t["token_id"] for t in toks_struct]
                 pieces: list[str] = []
                 for t in toks:
                     pieces.extend(pieces_fn(t))
-                vecs = encoder(pieces)
-                aligned = align_wordpieces(toks, pieces, vecs)
-                if not aligned:
-                    continue
-                mat = np.stack([v for _, v in aligned]).astype(np.float32)
-                pred = labs[(mat @ w).argmax(axis=1)]
-                for i, (tid, tok) in enumerate(zip(tids, toks)):
-                    if i >= len(pred):
-                        break
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["sent_id"].append(r["sent_id"])
-                    rows["token_id"].append(tid)
-                    rows["token"].append(tok)
-                    rows["bert_tag"].append(pred[i])
+                sent_toks.append(toks)
+                sent_tids.append(tids)
+                sent_pieces.append(pieces)
+                bounds.append((off, off + len(pieces)))
+                off += len(pieces)
+            rows = {k: [] for k in
+                    ("doc_id", "sent_id", "token_id", "token", "bert_tag")}
+            if not off:
+                yield pd.DataFrame(rows)
+                continue
+            # phase 2: ONE encoder call for the whole Arrow batch
+            vecs = encoder(sent_pieces).astype(np.float32)
+            # phase 3: per-sentence J9 alignment, vectors concatenated
+            mats, keep = [], []
+            for i, (lo, hi) in enumerate(bounds):
+                aligned = align_wordpieces(sent_toks[i], sent_pieces[i],
+                                           vecs[lo:hi])
+                if aligned:
+                    mats.append(np.stack([v for _, v in aligned]))
+                    keep.append((i, len(aligned)))
+            if not mats:
+                yield pd.DataFrame(rows)
+                continue
+            # phase 4: ONE head matmul + argmax for the whole batch
+            pred = labs[(np.concatenate(mats).astype(np.float32) @ w)
+                        .argmax(axis=1)]
+            pos = 0
+            doc_col = pdf["doc_id"]
+            sent_col = pdf["sent_id"]
+            for i, n_aligned in keep:
+                toks, tids = sent_toks[i], sent_tids[i]
+                n = min(n_aligned, len(toks))
+                rows["doc_id"].extend([doc_col.iloc[i]] * n)
+                rows["sent_id"].extend([sent_col.iloc[i]] * n)
+                rows["token_id"].extend(tids[:n])
+                rows["token"].extend(toks[:n])
+                rows["bert_tag"].extend(pred[pos:pos + n])
+                pos += n_aligned
             yield pd.DataFrame(rows)
 
     return sents.mapInPandas(run, schema=schema)
