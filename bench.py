@@ -90,8 +90,10 @@ def main() -> None:
         t0 = time.perf_counter()
         n_triples_m = run_pipeline(docs, mode="model").count()
         dt_model = min(dt_model, time.perf_counter() - t0)
+    # recorded per-query only — NOT added into headline_suite_wall, so
+    # the headline keeps its round-1 composition (HEADLINE queries +
+    # rules pipeline) and stays comparable across rounds (ADVICE r2)
     timings["pipeline_model_inference"] = round(dt_model, 3)
-    total += dt_model
     model_pps = n_pages / dt_model
     print(f"# pipeline(model): {dt_model:.3f}s pages={n_pages} "
           f"triples={n_triples_m} -> {model_pps:.1f} pages/sec",

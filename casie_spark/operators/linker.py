@@ -1,0 +1,290 @@
+"""Trained argument→event link disambiguation (the beyond-reference
+quality path used by mode=model pipelines).
+
+The reference attaches arguments with a rule cascade: same-sentence
+pool else previous sentence (select_sent, link_coref.py:1299-1309),
+Pair compatibility (:1369-1373), direct attach for singleton pools
+(:1375-1378), and a nearest-trigger containment walk for ties
+(:1380-1406) — reimplemented faithfully in ``linking.link`` and locked
+by the gold-replay parity gate.  Measured on the model-tagged corpus
+(BASELINE.md "link disambiguation"), that cascade picks the right
+event for 82.5% of multi-candidate arguments, while the right event
+sits inside the same-or-previous-sentence pool for ~97% of them — the
+single largest triple-recall loss after the tagger itself (r2 VERDICT
+missing #2).
+
+This module replaces the tie-break with a TRAINED ranker when its
+artifact is present (mirroring the tagger/role/realis pattern —
+reference weights for richer models are absent upstream, the gold
+corpus is not):
+
+- candidate pool: Pair-compatible events in the same OR previous
+  sentence (the union — keeping the either/or select_sent rule costs a
+  measured 291 right events);
+- per-candidate features, all computed JVM-side in ONE pass over the
+  candidate frame (argument-pair scale, ~2 rows per argument): sentence
+  gap, signed/absolute character distance, nearest-by-distance and
+  first-in-sentence ranks, pool size, and clause-boundary proxies
+  (commas / other predicted triggers strictly between trigger and
+  argument — the deterministic stand-in for the reference's dependency
+  governor chase, findtrigger link_coref.py:803-851, whose parser is
+  not available here);
+- a ranking-perceptron score: base-feature dot product + a
+  (subtype × arg_type) table + two hashed lexical tables (trigger
+  head-stem × arg type — verbs select their argument types — and
+  argument head-stem × subtype), trained by
+  ``operators/train_linker.py``;
+- argmax per argument via one row_number window.
+
+Measured effect (corpus, mode=model): multi-candidate pick accuracy
+0.825 → 0.958 (5-fold doc CV 0.89), right-event attachment of found
+arguments 0.770 → 0.835 = the pool ceiling.
+
+Scale: the candidate frame is argument-pair scale (tokens ≫ args);
+the only Python is one scalar pandas_udf over that frame (the hashed
+lexicon gathers; everything pool-structural is window/column work),
+and the per-sentence boundary arrays ride the existing doc_id
+partitioning.  No extra token-stream exchange — asserted in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config
+
+LEXDIM = 1 << 12
+N_BASE = 11
+SUBTYPES = tuple(sorted(config.PAIR))
+ARG_TYPES = tuple(sorted(set().union(*config.PAIR.values())))
+PAIR_INDEX = {(s, a): i for i, (s, a) in enumerate(
+    [(s, a) for s in SUBTYPES for a in ARG_TYPES])}
+N_PAIR = len(PAIR_INDEX)
+
+LINKER_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "linker_weights.npz")
+
+_BOUNDARY_TOKENS = (",", ";", ":", "—", "-")
+
+
+def _stem(w: str) -> str:
+    w = w.lower()
+    for suf in ("ing", "ed", "es", "s"):
+        if len(w) > len(suf) + 2 and w.endswith(suf):
+            return w[: -len(suf)]
+    return w
+
+
+def lex_bucket(text: str, key: str) -> int:
+    """Hashed (head-stem, key) lexicon row — md5-based so the trainer
+    and the executor-side scorer agree bit-for-bit everywhere."""
+    parts = str(text).split()
+    head = _stem(parts[0]) if parts else ""
+    h = hashlib.md5(f"{head}|{key}".encode()).digest()
+    return int.from_bytes(h[:4], "little") % LEXDIM
+
+
+def base_vector(d, absd, same_sent, nearest, first_ev, n_cand,
+                commas, trigs) -> np.ndarray:
+    """The N_BASE numeric features, one row per candidate (vectorized
+    over numpy arrays).  Shared by trainer and scorer."""
+    X = np.zeros((len(d), N_BASE))
+    X[:, 0] = 1.0
+    X[:, 1] = same_sent
+    X[:, 2] = np.clip(d / 500.0, -2, 2)
+    X[:, 3] = np.clip(absd / 500.0, 0, 2)
+    X[:, 4] = d <= 0            # trigger before argument
+    X[:, 5] = nearest
+    X[:, 6] = first_ev
+    X[:, 7] = np.log(np.maximum(n_cand, 1))
+    X[:, 8] = np.clip(commas, 0, 4)
+    X[:, 9] = np.clip(trigs, 0, 4)
+    X[:, 10] = trigs == 0       # no other trigger in between
+    return X
+
+
+def score_rows(pdf, w_base: np.ndarray, w_pair: np.ndarray,
+               lex_trig: np.ndarray, lex_arg: np.ndarray) -> np.ndarray:
+    """Candidate rows (pandas) -> scores.  The shared train/serve
+    kernel: base dot product + pair-table + two lexicon gathers."""
+    X = base_vector(
+        pdf["d"].to_numpy(np.float64),
+        pdf["absd"].to_numpy(np.float64),
+        pdf["same_sent"].to_numpy(np.float64),
+        pdf["nearest"].to_numpy(np.float64),
+        pdf["first_ev"].to_numpy(np.float64),
+        pdf["n_cand"].to_numpy(np.float64),
+        pdf["commas"].to_numpy(np.float64),
+        pdf["trigs"].to_numpy(np.float64),
+    )
+    pair = np.array([PAIR_INDEX[(s, a)] for s, a in
+                     zip(pdf["subtype"], pdf["arg_type"])])
+    l1 = np.array([lex_bucket(t, a) for t, a in
+                   zip(pdf["event_text"], pdf["arg_type"])])
+    l2 = np.array([lex_bucket(t, s) for t, s in
+                   zip(pdf["arg_text"], pdf["subtype"])])
+    return X @ w_base + w_pair[pair] + lex_trig[l1] + lex_arg[l2]
+
+
+def candidate_frame(events: DataFrame, args: DataFrame,
+                    tagged: DataFrame) -> DataFrame:
+    """Union-pool candidates with every JVM-side feature column.
+
+    One inner theta-join (events per doc-sentence are tiny, AQE covers
+    skew), one sentence-array join for the boundary counts (rides the
+    doc_id clustering), two windows over the (doc, arg) pools."""
+    ev = events.select(
+        F.col("doc_id").alias("_e_doc"), "event_id",
+        F.col("sent_id").alias("ev_sent"), "subtype",
+        F.col("text").alias("event_text"),
+        F.col("begin").alias("event_begin"),
+        *(["realis"] if "realis" in events.columns else []),
+    )
+    ar = args.select(
+        "doc_id", "arg_id", F.col("sent_id").alias("arg_sent"),
+        "arg_type", F.col("text").alias("arg_text"),
+        F.col("begin").alias("arg_begin"), F.col("end").alias("arg_end"),
+        *(["role"] if "role" in args.columns else []),
+    )
+    cand = ar.join(
+        ev,
+        (F.col("doc_id") == F.col("_e_doc"))
+        & ((F.col("ev_sent") == F.col("arg_sent"))
+           | (F.col("ev_sent") == F.col("arg_sent") - 1)),
+        "inner",
+    ).drop("_e_doc")
+    from .linking import _compat
+
+    cand = cand.filter(_compat(F.col("subtype"), F.col("arg_type")))
+
+    # clause-boundary arrays per sentence: comma-class begins and
+    # predicted-trigger begins (sorted) — SENTENCE scale, doc-clustered
+    sent_arrays = tagged.groupBy("doc_id", "sent_id").agg(
+        F.array_sort(F.collect_list(
+            F.when(F.col("token").isin(*_BOUNDARY_TOKENS), F.col("begin"))
+        )).alias("_commas"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("trigger_tag") != "O", F.col("begin"))
+        )).alias("_trigs"),
+    )
+    cand = cand.join(
+        sent_arrays.select(
+            F.col("doc_id").alias("_s_doc"),
+            F.col("sent_id").alias("_s_sent"), "_commas", "_trigs"),
+        (F.col("doc_id") == F.col("_s_doc"))
+        & (F.col("arg_sent") == F.col("_s_sent")),
+        "left",
+    ).drop("_s_doc", "_s_sent")
+
+    lo = F.least("event_begin", "arg_begin")
+    hi = F.greatest("event_begin", "arg_begin")
+    same = F.col("ev_sent") == F.col("arg_sent")
+
+    def _between(arr):
+        return F.size(F.filter(arr, lambda x: (x > lo) & (x < hi)))
+
+    warg = Window.partitionBy("doc_id", "arg_id")
+    wnear = warg.orderBy(F.abs(F.col("event_begin") - F.col("arg_begin")),
+                         "event_id")
+    wfirst = warg.orderBy("event_id")
+    return (
+        cand
+        .withColumn("d", (F.col("event_begin") - F.col("arg_begin"))
+                    .cast("double"))
+        .withColumn("absd", F.abs(F.col("d")))
+        .withColumn("same_sent", same.cast("double"))
+        .withColumn("commas",
+                    F.when(same, _between(F.col("_commas")))
+                    .otherwise(0).cast("double"))
+        .withColumn("trigs",
+                    F.when(same, _between(F.col("_trigs")))
+                    .otherwise(0).cast("double"))
+        .drop("_commas", "_trigs")
+        .withColumn("n_cand", F.count("*").over(warg).cast("double"))
+        .withColumn("nearest",
+                    (F.row_number().over(wnear) == 1).cast("double"))
+        .withColumn("first_ev",
+                    (F.row_number().over(wfirst) == 1).cast("double"))
+    )
+
+
+_LINKER_CACHE: dict[str, tuple | None] = {}
+
+
+def load_linker_weights(path: str | None = None):
+    """(w_base, w_pair, lex_trig, lex_arg) or None when no artifact.
+    Cached per (process, path)."""
+    p = path or LINKER_ARTIFACT
+    if p in _LINKER_CACHE:
+        return _LINKER_CACHE[p]
+    if not os.path.exists(p):
+        _LINKER_CACHE[p] = None
+        return None
+    z = np.load(p, allow_pickle=False)
+    out = (z["w_base"].astype(np.float64), z["w_pair"].astype(np.float64),
+           z["lex_trig"].astype(np.float64), z["lex_arg"].astype(np.float64))
+    _LINKER_CACHE[p] = out
+    return out
+
+
+def link_trained(events: DataFrame, arguments: DataFrame,
+                 tagged: DataFrame, weights="auto") -> DataFrame:
+    """Trained replacement for ``linking.link`` with the same output
+    column contract: one row per attached (argument, event) pair —
+    argmax of the ranking score over the union candidate pool.
+    ``weights``: "auto" loads the committed artifact; an explicit
+    None (or a missing artifact) falls back to the reference rule
+    cascade."""
+    if weights == "auto":
+        weights = load_linker_weights()
+    if weights is None:
+        from .linking import link
+
+        return link(events, arguments, tagged)
+    spark = tagged.sparkSession
+    bc = spark.sparkContext.broadcast(weights)
+
+    cand = candidate_frame(events, arguments, tagged)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(subtype, arg_type, event_text, arg_text,
+               d, absd, same_sent, nearest, first_ev, n_cand,
+               commas, trigs):
+        import pandas as pd
+
+        w_base, w_pair, lex_trig, lex_arg = bc.value
+        pdf = pd.DataFrame({
+            "subtype": subtype, "arg_type": arg_type,
+            "event_text": event_text, "arg_text": arg_text,
+            "d": d, "absd": absd, "same_sent": same_sent,
+            "nearest": nearest, "first_ev": first_ev, "n_cand": n_cand,
+            "commas": commas, "trigs": trigs,
+        })
+        return pd.Series(score_rows(pdf, w_base, w_pair, lex_trig, lex_arg))
+
+    scored = cand.withColumn("link_score", _score(
+        "subtype", "arg_type", "event_text", "arg_text",
+        "d", "absd", "same_sent", "nearest", "first_ev", "n_cand",
+        "commas", "trigs"))
+    wpick = Window.partitionBy("doc_id", "arg_id").orderBy(
+        F.desc("link_score"), "event_id")
+    keep = ["doc_id", "event_id", "subtype", "event_text", "event_begin",
+            "arg_id", "arg_type", "arg_text", "arg_begin", "arg_sent"]
+    if "realis" in scored.columns:
+        keep.append("realis")
+    if "role" in scored.columns:
+        keep.append("role")
+    return (
+        scored.withColumn("_rk", F.row_number().over(wpick))
+        .filter("_rk = 1")
+        .select(*keep)
+    )
