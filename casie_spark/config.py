@@ -201,6 +201,29 @@ ROLE_PAIR = {
 
 REALIS_VALUES = ["Actual", "Generic", "Other"]
 
+# RolePair surface vocabulary -> the gold-corpus role vocabulary.  The
+# reference's RolePair constants (link_coref.py:59-81) and its own
+# annotated corpus disagree on these strings: the corpus (and the
+# label set its models are trained on — score.py:9 RoleList carries
+# B-Vulnerable_System, B-Releaser, ...) uses underscores and shorter
+# names.  Measured on all 1,000 annotation files: 2,056
+# Vulnerable_System vs 0 Vulnerable-System, 786 Releaser vs 0
+# Patch-Releaser, 370 Price vs 0 Ransom-Price, 147 Number-of-Data vs
+# 0 Number-of-Compromised-Data.  mode=model pipelines canonicalize
+# deterministic-table output through this map so every emitted role is
+# a string that actually exists in the corpus; mode=rules keeps the
+# verbatim RolePair vocabulary for parity with the reference cascade.
+GOLD_ROLE_CANON = {
+    "Vulnerable-System": "Vulnerable_System",
+    "Vulnerable-System-Owner": "Vulnerable_System_Owner",
+    "Vulnerable-System-Version": "Vulnerable_System_Version",
+    "Supported-Platform": "Supported_Platform",
+    "Patch-Releaser": "Releaser",
+    "Ransom-Price": "Price",
+    "Number-of-victim": "Number-of-Victim",
+    "Number-of-Compromised-Data": "Number-of-Data",
+}
+
 # NER whitelist — the exact selectedNER list the feature pipeline
 # keeps (parseJsontoFeatures.py:164-165, verbatim incl. the "File"/
 # "FILE" duplication); everything else is reset to 'O' before BIO

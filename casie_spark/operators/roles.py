@@ -126,21 +126,34 @@ def ambiguous_role_candidates(linked: DataFrame) -> DataFrame:
         is_ambiguous_role(F.col("subtype"), F.col("arg_type")))
 
 
-def assign_roles(linked: DataFrame, provider=None) -> DataFrame:
+def assign_roles(linked: DataFrame, provider=None,
+                 route: str = "ambiguous", canon: bool = False) -> DataFrame:
     """linked (from operators.linking.link) -> + final ``role``.
 
     ``provider``: optional role-phrase model hook — a callable taking
-    the P4 candidate subset (``ambiguous_role_candidates``) and
-    returning (doc_id, event_id, arg_id, role) predictions.  Ambiguous
-    pairs resolve as upstream > provider > deterministic; unambiguous
-    pairs never reach the provider, exactly like the reference routes
-    only AmbiguousList pairs through its model."""
+    a candidate subset and returning (doc_id, event_id, arg_id, role)
+    predictions.  With ``route="ambiguous"`` (the reference semantics)
+    only the P4 AmbiguousList pairs reach the provider and resolve as
+    upstream > provider > deterministic.  With ``route="all"`` (the
+    mode=model quality path) EVERY linked pair is scored by the
+    provider — the trained head is more accurate than the
+    deterministic table on every slice (0.972 overall vs 0.616,
+    train_roles.py), emits the gold-corpus vocabulary, and covers the
+    (subtype, Software) pairs RolePair has no entry for at all (845
+    gold arguments that otherwise fall through to has_argument).
+
+    ``canon=True`` additionally maps any deterministic-table fallback
+    through config.GOLD_ROLE_CANON so the output vocabulary is
+    uniformly the corpus one (RolePair's 'Vulnerable-System' /
+    'Patch-Releaser' / ... strings do not occur in the corpus — see
+    the config docstring).  Rules-mode callers leave both options at
+    their reference-faithful defaults."""
     spark = linked.sparkSession
     has_role = "role" in linked.columns
     upstream = F.col("role") if has_role else F.lit(None).cast("string")
 
     if provider is not None:
-        # linked is referenced twice below (main join + the ambiguous
+        # linked is referenced twice below (main join + the provider
         # candidate subset); EVENT/ARG-scale multi-reference frames get
         # a truncate barrier so link()'s tie-break join and windows do
         # not re-execute per reference (ADVICE r2; CLAUDE.md barrier
@@ -152,23 +165,32 @@ def assign_roles(linked: DataFrame, provider=None) -> DataFrame:
     df = linked.join(F.broadcast(lookup), ["subtype", "arg_type"], "left")
     provided = F.lit(None).cast("string")
     if provider is not None:
-        preds = provider(ambiguous_role_candidates(linked)).select(
+        cand = linked if route == "all" else ambiguous_role_candidates(linked)
+        preds = provider(cand).select(
             "doc_id", "event_id", "arg_id",
             F.col("role").alias("_provider_role"),
         )
         df = df.join(preds, ["doc_id", "event_id", "arg_id"], "left")
-        provided = F.when(
-            is_ambiguous_role(F.col("subtype"), F.col("arg_type")),
-            F.col("_provider_role"),
-        )
+        if route == "all":
+            provided = F.col("_provider_role")
+        else:
+            provided = F.when(
+                is_ambiguous_role(F.col("subtype"), F.col("arg_type")),
+                F.col("_provider_role"),
+            )
+    fallback = [F.col("single_role"), F.col("first_role")]
+    if canon:
+        canon_map = F.create_map(
+            *[F.lit(x) for kv in config.GOLD_ROLE_CANON.items() for x in kv])
+        fallback = [F.coalesce(canon_map[c], c) for c in fallback]
     df = df.withColumn(
-        "role",
-        F.coalesce(upstream, provided, F.col("single_role"), F.col("first_role")),
+        "role", F.coalesce(upstream, provided, *fallback),
     ).drop("single_role", "first_role")
     if provider is not None:
         df = df.drop("_provider_role")
 
     # Databreach Number -> look at the next attached argument's role
+    # (canon: the corpus calls the data-count role Number-of-Data)
     wnext = Window.partitionBy("doc_id", "event_id").orderBy("arg_id")
     next_role = F.lead("role", 1).over(wnext)
     return df.withColumn(
@@ -183,7 +205,7 @@ def assign_roles(linked: DataFrame, provider=None) -> DataFrame:
             (F.col("subtype") == "Databreach")
             & (F.col("arg_type") == "Number")
             & (next_role == "Compromised-Data"),
-            F.lit("Number-of-Compromised-Data"),
+            F.lit("Number-of-Data" if canon else "Number-of-Compromised-Data"),
         )
         .otherwise(F.col("role")),
     )

@@ -126,14 +126,18 @@ def tagged_tokens(documents: DataFrame, id_col: str = "url",
 
 def triples_from_tagged(tagged: DataFrame, role_provider=None,
                         realis_provider=None,
-                        link_provider=None) -> DataFrame:
+                        link_provider=None,
+                        role_route: str = "ambiguous",
+                        role_canon: bool = False) -> DataFrame:
     """tagged tokens -> (subj, pred, obj) triples.  ``role_provider``:
-    optional role-phrase model hook for the P4-ambiguous pairs (see
-    operators.roles.assign_roles); ``realis_provider``: optional M4
-    classifier override (default: the cue rules); ``link_provider``:
-    optional (events, args, tagged) -> linked callable replacing the
-    reference rule cascade (operators.linker.link_trained — the
-    trained union-pool ranker mode=model pipelines use)."""
+    optional role-phrase model hook (see operators.roles.assign_roles);
+    ``realis_provider``: optional M4 classifier override (default: the
+    cue rules); ``link_provider``: optional (events, args, tagged) ->
+    linked callable replacing the reference rule cascade
+    (operators.linker.link_trained — the trained union-pool ranker
+    mode=model pipelines use); ``role_route``/``role_canon``: provider
+    routing and gold-vocabulary canonicalization, forwarded to
+    assign_roles (mode=model passes "all"/True)."""
     # events is referenced 3-5x downstream (realis windows, sentence
     # lookup, candidate join).  It is EVENT-scale (~100x smaller than
     # the token stream), so the barrier is `truncate` rather than
@@ -155,7 +159,8 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
             provider=realis_provider or classify_realis_rules))
     args = extract_arguments(tagged, carry=["role"])
     linked = (link_provider or link)(events, args, tagged)
-    rolled = assign_roles(linked, provider=role_provider)
+    rolled = assign_roles(linked, provider=role_provider,
+                          route=role_route, canon=role_canon)
 
     realis = (
         F.col("realis") if "realis" in rolled.columns else F.lit(None).cast("string")
@@ -183,19 +188,23 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
     triples are ~100x smaller than the token stream, so the mapping
     join is cheap).
 
-    ``role_provider``: "auto" (default) routes P4-ambiguous pairs
-    through the TRAINED role-phrase model, realis through the trained
-    M4 classifier, AND argument→event attachment through the trained
-    union-pool link ranker (operators.linker) when mode="model" —
-    matching the reference architecture, where models handle the
-    ambiguous decisions — and uses the deterministic RolePair +
-    cue-rule + rule-cascade fallbacks otherwise (rules/gold keep
-    parity with the model-free reference semantics).
+    ``role_provider``: "auto" (default) routes ALL linked pairs
+    through the TRAINED role-phrase model (route="all" — it beats the
+    deterministic table on every slice and emits the gold-corpus role
+    vocabulary, incl. the Software pairs RolePair lacks), realis
+    through the trained M4 classifier, AND argument→event attachment
+    through the trained union-pool link ranker (operators.linker) when
+    mode="model" — matching the reference architecture, where models
+    handle the ambiguous decisions — and uses the deterministic
+    RolePair + cue-rule + rule-cascade fallbacks otherwise (rules/gold
+    keep parity with the model-free reference semantics, verbatim
+    RolePair vocabulary included).
     Pass an explicit provider callable or None to override."""
     if english_only and "lang" in documents.columns:
         documents = documents.filter(F.col("lang") == "en")
     realis_provider = None
     link_provider = None
+    role_route, role_canon = "ambiguous", False
     if role_provider == "auto":
         if mode == "model":
             from .operators.linker import link_trained
@@ -205,13 +214,16 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
             role_provider = trained_role_provider()
             realis_provider = trained_realis_provider()
             link_provider = link_trained
+            role_route, role_canon = "all", True
         else:
             role_provider = None
     tagged = tagged_tokens(documents, id_col=id_col, mode=mode, gold=gold,
                            tagger_weights=tagger_weights)
     triples = triples_from_tagged(tagged, role_provider=role_provider,
                                   realis_provider=realis_provider,
-                                  link_provider=link_provider)
+                                  link_provider=link_provider,
+                                  role_route=role_route,
+                                  role_canon=role_canon)
     id_map = documents.select(
         doc_key(F.col(id_col)).alias("doc_id"),
         F.col(id_col).cast("string").alias("_url"),
