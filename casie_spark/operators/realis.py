@@ -113,15 +113,14 @@ def classify_realis_rules(ctx_df: DataFrame, events: DataFrame) -> DataFrame:
     )
 
 
-_REALIS_WEIGHTS = None
+_REALIS_WEIGHTS: dict = {}
 
 
 def load_realis_weights(path: str | None = None):
     """(tables, labels) from the trained realis artifact
-    (operators/train_realis.py), or None when absent."""
-    global _REALIS_WEIGHTS
-    if _REALIS_WEIGHTS is not None:
-        return _REALIS_WEIGHTS
+    (operators/train_realis.py), or None when absent.  Cached per
+    (process, path) like load_role_weights — an absent artifact is NOT
+    pinned, so a later save_artifact is picked up."""
     import os
 
     import numpy as np
@@ -129,6 +128,8 @@ def load_realis_weights(path: str | None = None):
     from .train_realis import REALIS_ARTIFACT
 
     p = path or REALIS_ARTIFACT
+    if p in _REALIS_WEIGHTS:
+        return _REALIS_WEIGHTS[p]
     if not os.path.exists(p):
         return None
     z = np.load(p, allow_pickle=False)
@@ -136,8 +137,8 @@ def load_realis_weights(path: str | None = None):
               for k in z.files if k.startswith("realis_")
               and k != "realis_labels"}
     labels = [str(s) for s in z["realis_labels"]]
-    _REALIS_WEIGHTS = (tables, labels)
-    return _REALIS_WEIGHTS
+    _REALIS_WEIGHTS[p] = (tables, labels)
+    return _REALIS_WEIGHTS[p]
 
 
 def trained_realis_provider(weights=None):

@@ -46,9 +46,13 @@ EPOCHS = 32          # 20 -> 32 bought +0.5 pt multi-pick accuracy in
 MARGIN = 1.0
 
 
-def build_training_pools(spark):
+def build_training_pools(spark, doc_ids=None, tagger_weights=None):
     """Candidate frame of the model-tagged corpus + is_gold labels,
-    collected to pandas sorted by (doc_id, arg_id, event_id)."""
+    collected to pandas sorted by (doc_id, arg_id, event_id).
+    ``doc_ids`` restricts the corpus to a document subset and
+    ``tagger_weights`` overrides the committed tagger artifact — the
+    held-out protocol passes both so the ranker's candidate pools come
+    from the fold-trained tagger over the train folds only."""
     from pyspark.sql import functions as F
 
     from ..pipeline import tagged_tokens
@@ -60,10 +64,14 @@ def build_training_pools(spark):
     from ..util import materialize, truncate
     from .linking import extract_arguments, extract_events
 
-    ann = load_annotations(spark).cache()
+    ann = load_annotations(spark)
+    if doc_ids is not None:
+        ann = ann.filter(F.col("doc_id").isin(list(doc_ids)))
+    ann = ann.cache()
     docs = ann.select("doc_id", F.col("content").alias("text"))
     tagged = materialize(
-        tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False))
+        tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False,
+                      tagger_weights=tagger_weights))
     events = truncate(extract_events(tagged))
     args = truncate(extract_arguments(tagged))
     cand = candidate_frame(events, args, tagged)
@@ -184,6 +192,15 @@ def pick_accuracy(pools, arrays) -> dict:
             r_multi += hit
     return {"multi_acc": r_multi / max(n_multi, 1), "n_multi": n_multi,
             "all_acc": r_all / max(n_all, 1), "n_all": n_all}
+
+
+def arrays_to_weights(arrays):
+    """train() arrays -> the (w_base, w_pair, lex_trig, lex_arg) tuple
+    linker.link_trained consumes (same shape as load_linker_weights)."""
+    return (arrays["w_base"].astype(np.float64),
+            arrays["w_pair"].astype(np.float64),
+            arrays["lex_trig"].astype(np.float64),
+            arrays["lex_arg"].astype(np.float64))
 
 
 def save_artifact(arrays, path: str = LINKER_ARTIFACT) -> str:

@@ -103,7 +103,9 @@ def train_realis_head(trig, widx, wsamp, y, n_labels
     return {k: (avg[k] / max(navg, 1)).astype(np.float32) for k in tables}
 
 
-def build_training_frame(spark):
+def build_training_frame(spark, doc_ids=None):
+    """``doc_ids``: optional iterable restricting the corpus to a
+    document subset (the held-out protocol trains on folds 1..4)."""
     from pyspark.sql import functions as F
 
     from ..operators.linking import extract_events
@@ -118,6 +120,8 @@ def build_training_frame(spark):
     from ..util import materialize, truncate
 
     ann = load_annotations(spark)
+    if doc_ids is not None:
+        ann = ann.filter(F.col("doc_id").isin(list(doc_ids)))
     docs = ann.select("doc_id", F.col("content").alias("text"))
     toks = tokenize(docs, id_col="doc_id").repartition(F.col("doc_id"))
     tagged = materialize(
@@ -145,6 +149,17 @@ def train(pdf) -> dict[str, np.ndarray]:
     out = {f"realis_{k}": v.astype(np.float16) for k, v in tables.items()}
     out["realis_labels"] = np.array(labels)
     return out
+
+
+def arrays_to_weights(arrays):
+    """train() arrays -> the (tables, labels) tuple
+    realis.trained_realis_provider consumes (same shape as
+    realis.load_realis_weights returns from the committed artifact)."""
+    tables = {k[7:]: arrays[k].astype(np.float32)
+              for k in arrays if k.startswith("realis_")
+              and k != "realis_labels"}
+    labels = [str(s) for s in arrays["realis_labels"]]
+    return tables, labels
 
 
 def save_artifact(arrays, path: str = REALIS_ARTIFACT) -> str:

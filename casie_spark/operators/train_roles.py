@@ -109,12 +109,16 @@ def train_role_head(f: dict[str, np.ndarray], y: np.ndarray,
     return {k: (avg[k] / max(navg, 1)).astype(np.float32) for k in tables}
 
 
-def build_training_frame(spark):
+def build_training_frame(spark, doc_ids=None):
+    """``doc_ids``: optional iterable restricting the gold arguments to
+    a document subset (the held-out protocol trains on folds 1..4)."""
     from pyspark.sql import functions as F
 
     from ..sources.annotations import gold_arguments, load_annotations
 
     ann = load_annotations(spark)
+    if doc_ids is not None:
+        ann = ann.filter(F.col("doc_id").isin(list(doc_ids)))
     return (
         gold_arguments(ann)
         .filter(F.col("role").isNotNull())
@@ -135,6 +139,16 @@ def train(pdf) -> dict[str, np.ndarray]:
     out = {f"role_{k}": v.astype(np.float16) for k, v in tables.items()}
     out["role_labels"] = np.array(labels)
     return out
+
+
+def arrays_to_weights(arrays):
+    """train() arrays -> the (tables, labels) tuple
+    roles.trained_role_provider consumes (same shape as
+    roles.load_role_weights returns from the committed artifact)."""
+    tables = {k[5:]: arrays[k].astype(np.float32)
+              for k in arrays if k.startswith("role_") and k != "role_labels"}
+    labels = [str(s) for s in arrays["role_labels"]]
+    return tables, labels
 
 
 def save_artifact(arrays, path: str = ROLE_ARTIFACT) -> str:

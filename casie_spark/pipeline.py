@@ -182,7 +182,8 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
 def run_pipeline(documents: DataFrame, id_col: str = "url",
                  mode: str = "rules", gold=None,
                  english_only: bool = True, tagger_weights=None,
-                 role_provider: object = "auto") -> DataFrame:
+                 role_provider: object = "auto",
+                 model_weights: dict | None = None) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> triples, doc_id =
     the original url/id (internal long keys are joined back here —
     triples are ~100x smaller than the token stream, so the mapping
@@ -199,7 +200,15 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
     RolePair + cue-rule + rule-cascade fallbacks otherwise (rules/gold
     keep parity with the model-free reference semantics, verbatim
     RolePair vocabulary included).
-    Pass an explicit provider callable or None to override."""
+    Pass an explicit provider callable or None to override.
+
+    ``model_weights``: optional overrides for the learned heads in
+    mode=model — a dict with any of the keys "role", "realis"
+    ((tables, labels) tuples) and "linker" (the load_linker_weights
+    tuple).  Used by the held-out protocol (train_tagger --holdout) to
+    run the full model pipeline with every learned component fit on
+    the train folds only; omitted keys fall back to the committed
+    full-corpus artifacts."""
     if english_only and "lang" in documents.columns:
         documents = documents.filter(F.col("lang") == "en")
     realis_provider = None
@@ -211,9 +220,16 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
             from .operators.realis import trained_realis_provider
             from .operators.roles import trained_role_provider
 
-            role_provider = trained_role_provider()
-            realis_provider = trained_realis_provider()
-            link_provider = link_trained
+            mw = model_weights or {}
+            role_provider = trained_role_provider(mw.get("role"))
+            realis_provider = trained_realis_provider(mw.get("realis"))
+            if "linker" in mw:
+                import functools
+
+                link_provider = functools.partial(
+                    link_trained, weights=mw["linker"])
+            else:
+                link_provider = link_trained
             role_route, role_canon = "all", True
         else:
             role_provider = None
