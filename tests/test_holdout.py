@@ -8,9 +8,10 @@ emissions, transitions AND the λ scale fit on the train folds only and
 mention + end-to-end triple metrics scored on the untouched fold.
 
 Measured (r3): held-out nugget Dice F1 0.454, argument 0.343, triple
-exact-key 0.151 (after routing all role decisions through the trained
-head) — vs the same artifact's train-split 0.784 / 0.840 and the
-full-corpus memorization numbers (0.790 / 0.809 / 0.63, BASELINE.md).  The gap is real and documented: the model's features
+exact-key 0.146 (fold-restricted role/realis/linker heads included —
+the earlier full-corpus-artifact leak was worth ~0.005) — vs the same
+artifact's train-split 0.784 / 0.840 and the full-corpus memorization
+numbers (0.790 / 0.809 / 0.63, BASELINE.md).  The gap is real and documented: the model's features
 are lexical-identity hashes plus shape (no pretrained embeddings exist
 in this container), so unseen-vocabulary mentions are reachable only
 through shape/affix signal.  The gates pin the measured floors so a
