@@ -1,0 +1,153 @@
+"""Argument begin-repair stage (mode=model): snap predicted argument
+span BEGINs onto the gold annotation convention.
+
+The reference's BiLSTM-CRF span decoder learns the corpus' left-edge
+convention (include the determiner of the NP: nug_arg_detection.py
+trains on the gold BIO tags directly); the averaged-perceptron
+substitute under-includes it, costing ~9 points of exact-begin recall
+while the span itself is found (see train_begin.py for the measured
+decomposition).  This stage recovers the edge with a trained 4-class
+shift head over surface context — the Spark-side contract is one
+pandas_udf over the EVENT/ARG-scale args frame (no token-stream work
+beyond two lag/lead windows that ride the existing doc_id exchange).
+
+Only mode=model pipelines run it; rules/gold modes keep byte parity
+with the model-free reference semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# token shifts applied to a span's begin, in model class order
+SHIFTS = (-2, -1, 0, 1)
+
+BEGIN_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "begin_weights.npz",
+)
+
+_BEGIN_CACHE: dict = {}
+
+# context columns arguments_with_context() adds (consumed and dropped
+# by repair_begins)
+_CTX_COLS = ("_tok", "_p1", "_p1b", "_p2", "_p2b", "_nx", "_nxb")
+
+
+def load_begin_weights(path: str | None = None):
+    """Tables dict from the trained begin-repair artifact
+    (operators/train_begin.py), or None when absent.  Cached per
+    (process, path); an absent artifact is not pinned."""
+    p = path or BEGIN_ARTIFACT
+    if p in _BEGIN_CACHE:
+        return _BEGIN_CACHE[p]
+    if not os.path.exists(p):
+        return None
+    z = np.load(p, allow_pickle=False)
+    tables = {k[6:]: z[k].astype(np.float32)
+              for k in z.files if k.startswith("begin_")}
+    _BEGIN_CACHE[p] = tables
+    return tables
+
+
+def with_begin_context(tagged: DataFrame) -> DataFrame:
+    """Add sentence-scoped neighbor-token context columns to the token
+    stream: previous/previous-2 token text + begin, next token text +
+    begin.  The windows partition by doc_id and order by
+    (sent_id, token_id) — the SAME partitioning every other tagging
+    window uses, so no new Exchange enters the plan (the one-exchange
+    gate in tests/test_plans.py covers the mode=model pipeline with
+    this stage active).  Cross-sentence neighbors are nulled."""
+    w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
+    same1 = F.lag("sent_id", 1).over(w) == F.col("sent_id")
+    same2 = F.lag("sent_id", 2).over(w) == F.col("sent_id")
+    samen = F.lead("sent_id", 1).over(w) == F.col("sent_id")
+    return (
+        tagged
+        .withColumn("_p1", F.when(same1, F.lag("token", 1).over(w)))
+        .withColumn("_p1b", F.when(same1, F.lag("begin", 1).over(w)))
+        .withColumn("_p2", F.when(same2, F.lag("token", 2).over(w)))
+        .withColumn("_p2b", F.when(same2, F.lag("begin", 2).over(w)))
+        .withColumn("_nx", F.when(samen, F.lead("token", 1).over(w)))
+        .withColumn("_nxb", F.when(samen, F.lead("begin", 1).over(w)))
+    )
+
+
+def arguments_with_context(tagged: DataFrame,
+                           carry: list[str] | None = None) -> DataFrame:
+    """extract_arguments over a context-augmented token stream; the
+    span rows carry the first token's text (_tok) and its sentence
+    neighbors (_p1/_p1b/_p2/_p2b/_nx/_nxb).  Note _nx is the token
+    AFTER the span's first token — i.e. the span's own second token
+    when n_tokens > 1, which is exactly the +1-shift target."""
+    from .linking import extract_arguments
+
+    ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
+    return extract_arguments(
+        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]])
+
+
+def repair_begins(args: DataFrame, weights) -> DataFrame:
+    """Apply the trained shift head to an arguments frame produced by
+    arguments_with_context().  Adjusts begin / text / first_token_id /
+    n_tokens; end is untouched (begin-only repair).  Predicted shifts
+    whose target is unavailable (sentence edge, single-token span for
+    +1) fall back to keep-as-is.  Rebuilt text pads inter-token gaps
+    with spaces — begins/ends stay exact (they come from the token
+    stream), only non-space whitespace inside the gap is approximated.
+    Drops the context columns."""
+    if weights is None:
+        return args.drop(*_CTX_COLS)
+    bc = args.sparkSession.sparkContext.broadcast(weights)
+
+    @pandas_udf("int")
+    def _shift(at: pd.Series, tok: pd.Series, p1: pd.Series,
+               p2: pd.Series, nx: pd.Series) -> pd.Series:
+        from .train_begin import _logits, begin_features
+
+        tables = bc.value
+        f = begin_features(at.tolist(), tok.tolist(), p1.tolist(),
+                           p2.tolist(), nx.tolist())
+        cls = _logits(tables, f).argmax(axis=1)
+        return pd.Series(np.asarray(SHIFTS, np.int32)[cls])
+
+    df = args.withColumn(
+        "_sh", _shift("arg_type", "_tok", "_p1", "_p2", "_nx"))
+    # guard: fall back to 0 when the shift target does not exist
+    df = df.withColumn(
+        "_sh",
+        F.when((F.col("_sh") == -1) & F.col("_p1b").isNotNull(), -1)
+        .when((F.col("_sh") == -2) & F.col("_p2b").isNotNull()
+              & F.col("_p1b").isNotNull(), -2)
+        .when((F.col("_sh") == 1) & F.col("_nxb").isNotNull()
+              & (F.col("n_tokens") > 1), 1)
+        .otherwise(0))
+
+    pad1 = F.expr("repeat(' ', begin - _p1b - length(_p1))")
+    pad2 = F.expr("repeat(' ', _p1b - _p2b - length(_p2))")
+    new_text = (
+        F.when(F.col("_sh") == -1, F.concat("_p1", pad1, "text"))
+        .when(F.col("_sh") == -2,
+              F.concat("_p2", pad2, "_p1", pad1, "text"))
+        .when(F.col("_sh") == 1,
+              F.expr("substring(text, _nxb - begin + 1)"))
+        .otherwise(F.col("text")))
+    new_begin = (
+        F.when(F.col("_sh") == -1, F.col("_p1b"))
+        .when(F.col("_sh") == -2, F.col("_p2b"))
+        .when(F.col("_sh") == 1, F.col("_nxb"))
+        .otherwise(F.col("begin")))
+    return (
+        df.withColumn("text", new_text)
+        .withColumn("begin", new_begin)
+        .withColumn("first_token_id",
+                    F.col("first_token_id") + F.col("_sh"))
+        .withColumn("n_tokens", F.col("n_tokens") - F.col("_sh"))
+        .drop("_sh", *_CTX_COLS)
+    )

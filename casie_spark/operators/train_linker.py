@@ -46,13 +46,18 @@ EPOCHS = 32          # 20 -> 32 bought +0.5 pt multi-pick accuracy in
 MARGIN = 1.0
 
 
-def build_training_pools(spark, doc_ids=None, tagger_weights=None):
+def build_training_pools(spark, doc_ids=None, tagger_weights=None,
+                         begin_weights="auto"):
     """Candidate frame of the model-tagged corpus + is_gold labels,
     collected to pandas sorted by (doc_id, arg_id, event_id).
     ``doc_ids`` restricts the corpus to a document subset and
     ``tagger_weights`` overrides the committed tagger artifact — the
     held-out protocol passes both so the ranker's candidate pools come
-    from the fold-trained tagger over the train folds only."""
+    from the fold-trained tagger over the train folds only.
+    ``begin_weights``: the begin-repair tables applied to the argument
+    spans before candidate generation ("auto" loads the committed
+    artifact) — the pools must match what link_trained sees at
+    inference, where repair runs before linking."""
     from pyspark.sql import functions as F
 
     from ..pipeline import tagged_tokens
@@ -73,7 +78,17 @@ def build_training_pools(spark, doc_ids=None, tagger_weights=None):
         tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False,
                       tagger_weights=tagger_weights))
     events = truncate(extract_events(tagged))
-    args = truncate(extract_arguments(tagged))
+    if begin_weights == "auto":
+        from .begin_repair import load_begin_weights
+
+        begin_weights = load_begin_weights()
+    if begin_weights is not None:
+        from .begin_repair import arguments_with_context, repair_begins
+
+        args = truncate(repair_begins(
+            arguments_with_context(tagged), begin_weights))
+    else:
+        args = truncate(extract_arguments(tagged))
     cand = candidate_frame(events, args, tagged)
 
     ga = gold_arguments(ann).select(

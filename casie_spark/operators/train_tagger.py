@@ -433,11 +433,14 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
     mention_train = evaluate(spark, "model", tagger_weights=w,
                              doc_ids=train_docs)
 
-    # fold-restricted downstream heads (role / realis / link ranker):
-    # each trains on the SAME train docs, so nothing the held-out
-    # triple number touches has seen fold 0
-    from . import train_linker, train_realis, train_roles
+    # fold-restricted downstream heads (begin repair / role / realis /
+    # link ranker): each trains on the SAME train docs, so nothing the
+    # held-out triple number touches has seen fold 0
+    from . import train_begin, train_linker, train_realis, train_roles
 
+    begin_w = train_begin.arrays_to_weights(
+        train_begin.train(train_begin.build_training_frame(
+            spark, doc_ids=train_docs, tagger_weights=w)))
     role_w = train_roles.arrays_to_weights(
         train_roles.train(train_roles.build_training_frame(
             spark, doc_ids=train_docs)))
@@ -446,9 +449,11 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
             spark, doc_ids=train_docs)))
     link_pools = train_linker._pool_arrays(
         train_linker.build_training_pools(
-            spark, doc_ids=train_docs, tagger_weights=w))
+            spark, doc_ids=train_docs, tagger_weights=w,
+            begin_weights=begin_w))
     link_w = train_linker.arrays_to_weights(train_linker.train(link_pools))
-    mw = {"role": role_w, "realis": realis_w, "linker": link_w}
+    mw = {"begin": begin_w, "role": role_w, "realis": realis_w,
+          "linker": link_w}
 
     ann = load_annotations(spark).filter(
         F.col("doc_id").isin(test_docs)).cache()
@@ -460,8 +465,9 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
 
     out = {
         "protocol": "80/20 doc-level md5 split (doc_fold), fold 0 held "
-                    "out; emissions + transitions + λ + role/realis "
-                    "heads + link ranker all fit on train folds only",
+                    "out; emissions + transitions + λ + begin repair + "
+                    "role/realis heads + link ranker all fit on train "
+                    "folds only",
         "n_folds": N_FOLDS,
         "n_train_docs": len(train_docs),
         "n_test_docs": len(test_docs),

@@ -128,7 +128,8 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
                         realis_provider=None,
                         link_provider=None,
                         role_route: str = "ambiguous",
-                        role_canon: bool = False) -> DataFrame:
+                        role_canon: bool = False,
+                        begin_weights=None) -> DataFrame:
     """tagged tokens -> (subj, pred, obj) triples.  ``role_provider``:
     optional role-phrase model hook (see operators.roles.assign_roles);
     ``realis_provider``: optional M4 classifier override (default: the
@@ -137,7 +138,10 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
     (operators.linker.link_trained — the trained union-pool ranker
     mode=model pipelines use); ``role_route``/``role_canon``: provider
     routing and gold-vocabulary canonicalization, forwarded to
-    assign_roles (mode=model passes "all"/True)."""
+    assign_roles (mode=model passes "all"/True); ``begin_weights``:
+    optional trained begin-repair tables (operators.begin_repair) —
+    mode=model snaps argument begins onto the gold left-edge
+    convention before linking."""
     # events is referenced 3-5x downstream (realis windows, sentence
     # lookup, candidate join).  It is EVENT-scale (~100x smaller than
     # the token stream), so the barrier is `truncate` rather than
@@ -157,7 +161,16 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
         events = truncate(with_realis(
             events, tagged,
             provider=realis_provider or classify_realis_rules))
-    args = extract_arguments(tagged, carry=["role"])
+    if begin_weights is not None:
+        from .operators.begin_repair import (
+            arguments_with_context,
+            repair_begins,
+        )
+
+        args = repair_begins(
+            arguments_with_context(tagged, carry=["role"]), begin_weights)
+    else:
+        args = extract_arguments(tagged, carry=["role"])
     linked = (link_provider or link)(events, args, tagged)
     rolled = assign_roles(linked, provider=role_provider,
                           route=role_route, canon=role_canon)
@@ -204,8 +217,8 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
 
     ``model_weights``: optional overrides for the learned heads in
     mode=model — a dict with any of the keys "role", "realis"
-    ((tables, labels) tuples) and "linker" (the load_linker_weights
-    tuple).  Used by the held-out protocol (train_tagger --holdout) to
+    ((tables, labels) tuples), "linker" (the load_linker_weights
+    tuple) and "begin" (the load_begin_weights tables).  Used by the held-out protocol (train_tagger --holdout) to
     run the full model pipeline with every learned component fit on
     the train folds only; omitted keys fall back to the committed
     full-corpus artifacts."""
@@ -213,6 +226,7 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
         documents = documents.filter(F.col("lang") == "en")
     realis_provider = None
     link_provider = None
+    begin_weights = None
     role_route, role_canon = "ambiguous", False
     if role_provider == "auto":
         if mode == "model":
@@ -220,9 +234,12 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
             from .operators.realis import trained_realis_provider
             from .operators.roles import trained_role_provider
 
+            from .operators.begin_repair import load_begin_weights
+
             mw = model_weights or {}
             role_provider = trained_role_provider(mw.get("role"))
             realis_provider = trained_realis_provider(mw.get("realis"))
+            begin_weights = mw.get("begin", load_begin_weights())
             if "linker" in mw:
                 import functools
 
@@ -239,7 +256,8 @@ def run_pipeline(documents: DataFrame, id_col: str = "url",
                                   realis_provider=realis_provider,
                                   link_provider=link_provider,
                                   role_route=role_route,
-                                  role_canon=role_canon)
+                                  role_canon=role_canon,
+                                  begin_weights=begin_weights)
     id_map = documents.select(
         doc_key(F.col(id_col)).alias("doc_id"),
         F.col(id_col).cast("string").alias("_url"),

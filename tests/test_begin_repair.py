@@ -1,0 +1,130 @@
+"""Begin-repair stage (operators/begin_repair.py + train_begin.py).
+
+Kernel-level: featurizer determinism and the shift-application
+geometry (begin/text/first_token_id/n_tokens adjustments, guard
+fallbacks at sentence edges and single-token spans) on a constructed
+token frame with HAND-BUILT weight tables that force a chosen class —
+so the test pins the Spark plumbing, not the learned artifact.  The
+artifact itself is covered by the reproducibility + end-to-end gates
+in test_trained_tagger.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from casie_spark.operators.begin_repair import (
+    SHIFTS,
+    arguments_with_context,
+    repair_begins,
+)
+from casie_spark.operators.model_tagger import N_SHAPES, VOCAB_SIZE
+from casie_spark.operators.train_begin import _KEYS, begin_features
+
+
+def forced_weights(cls_index: int) -> dict:
+    """Weight tables whose bias alone forces ``cls_index`` for every
+    input."""
+    tables = {k: np.zeros((N_SHAPES if k == "sh_p1" else VOCAB_SIZE, 4),
+                          np.float32) for k in _KEYS}
+    b = np.zeros(4, np.float32)
+    b[cls_index] = 10.0
+    tables["b"] = b
+    return tables
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    # one doc, two sentences; char begins mimic the tokenizer
+    # (double space between "the" and "critical" exercises gap padding)
+    rows = [
+        # sent 0: "Flaw found ."  — arg at sentence START (no prev)
+        (1, 0, 0, "Flaw", 0, "B-Vulnerability"),
+        (1, 0, 1, "found", 5, "O"),
+        (1, 0, 2, ".", 11, "O"),
+        # sent 1: "Researchers saw the  critical flaw ."
+        (1, 1, 0, "Researchers", 13, "O"),
+        (1, 1, 1, "saw", 25, "O"),
+        (1, 1, 2, "the", 29, "O"),
+        (1, 1, 3, "critical", 34, "B-Vulnerability"),  # note 2-space gap
+        (1, 1, 4, "flaw", 43, "I-Vulnerability"),
+        (1, 1, 5, ".", 48, "O"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sent_id int, token_id int, token string, "
+              "begin long, arg_tag string")
+    return df.withColumn("trigger_tag", F.lit("O"))
+
+
+def spans_by_begin(df):
+    return {r["begin"]: r.asDict() for r in df.collect()}
+
+
+def test_keep_class_is_identity(spark, tagged):
+    args0 = arguments_with_context(tagged)
+    out = repair_begins(args0, forced_weights(SHIFTS.index(0)))
+    got = {r["begin"]: r for r in out.collect()}
+    assert set(got) == {0, 34}
+    assert got[34]["text"] == "critical flaw"
+    assert got[34]["n_tokens"] == 2
+    # context columns are dropped
+    assert not [c for c in out.columns if c.startswith("_")]
+
+
+def test_shift_minus1_applies_and_guards(spark, tagged):
+    out = repair_begins(arguments_with_context(tagged),
+                        forced_weights(SHIFTS.index(-1)))
+    got = spans_by_begin(out)
+    # sent-1 span pulled onto "the"; pad preserves the 2-space gap so
+    # the end-begin == len(text) invariant survives
+    assert 29 in got
+    assert got[29]["text"] == "the  critical flaw"
+    assert got[29]["first_token_id"] == 2
+    assert got[29]["n_tokens"] == 3
+    assert got[29]["end"] - got[29]["begin"] == len(got[29]["text"])
+    # sent-0 span has no previous token -> guard falls back to keep
+    assert 0 in got and got[0]["text"] == "Flaw"
+
+
+def test_shift_minus2_applies_and_guards(spark, tagged):
+    out = repair_begins(arguments_with_context(tagged),
+                        forced_weights(SHIFTS.index(-2)))
+    got = spans_by_begin(out)
+    assert 25 in got
+    assert got[25]["text"] == "saw the  critical flaw"
+    assert got[25]["n_tokens"] == 4
+    assert got[0]["text"] == "Flaw"  # guard
+
+
+def test_shift_plus1_applies_and_guards(spark, tagged):
+    out = repair_begins(arguments_with_context(tagged),
+                        forced_weights(SHIFTS.index(1)))
+    got = spans_by_begin(out)
+    # 2-token span shrinks onto its second token
+    assert 43 in got
+    assert got[43]["text"] == "flaw"
+    assert got[43]["n_tokens"] == 1
+    assert got[43]["first_token_id"] == 4
+    # single-token span cannot shrink -> keep
+    assert got[0]["text"] == "Flaw"
+
+
+def test_none_weights_passthrough(spark, tagged):
+    args0 = arguments_with_context(tagged)
+    out = repair_begins(args0, None)
+    got = spans_by_begin(out)
+    assert got[34]["text"] == "critical flaw"
+    assert not [c for c in out.columns if c.startswith("_")]
+
+
+def test_featurizer_deterministic_and_null_safe():
+    f1 = begin_features(["Data", "CVE"], ["flaw", "CVE-2021-1"],
+                        ["the", None], [None, "of"], ["was", None])
+    f2 = begin_features(["Data", "CVE"], ["flaw", "CVE-2021-1"],
+                        ["the", None], [None, "of"], ["was", None])
+    assert set(f1) == set(_KEYS)
+    for k in f1:
+        assert (f1[k] == f2[k]).all()
+        assert f1[k].dtype == np.int64

@@ -68,6 +68,8 @@ def test_end_to_end_triple_quality_gate(spark):
     pred = run_pipeline(docs, id_col="doc_id", mode="model")
     m = triple_prf(pred, gold_triples(ann))
     ann.unpersist()
-    assert m["f1"] >= 0.60, m
-    assert m["precision"] >= 0.61, m
-    assert m["recall"] >= 0.59, m
+    # measured r3 with the begin-repair head: P 0.694 / R 0.670 / F1
+    # 0.682 (pre-repair: 0.634)
+    assert m["f1"] >= 0.65, m
+    assert m["precision"] >= 0.66, m
+    assert m["recall"] >= 0.63, m
