@@ -105,7 +105,7 @@ def build_training_frame(spark):
 
 
 def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
-                seed: int) -> dict[str, np.ndarray]:
+                seed: int, drop_keys: tuple = ()) -> dict[str, np.ndarray]:
     """Mini-batch AVERAGED PERCEPTRON over the summed-gather linear
     model: on each mistake, +w at the gold label row and -w at the
     predicted one, per feature table (w = inverse-class-frequency^0.15,
@@ -122,8 +122,12 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
         "tm1": (VOCAB_SIZE, n_labels), "tp1": (VOCAB_SIZE, n_labels),
         "sh": (N_SHAPES, n_labels),
         "b1": (BIGRAM_SIZE, n_labels), "b2": (BIGRAM_SIZE, n_labels),
-        "tri": (TRIGRAM_SIZE, n_labels), "b": (n_labels,),
+        "tri": (TRIGRAM_SIZE, n_labels),
+        "pf3": (VOCAB_SIZE, n_labels), "sf3": (VOCAB_SIZE, n_labels),
+        "sf4": (VOCAB_SIZE, n_labels), "b": (n_labels,),
     }
+    for k in drop_keys:
+        shapes.pop(k, None)
     tables = {k: np.zeros(s, np.float32) for k, s in shapes.items()}
     avg = {k: np.zeros(s, np.float64) for k, s in shapes.items()}
     n = len(y)
@@ -212,8 +216,14 @@ def train(pdf) -> dict[str, np.ndarray]:
     yt = pdf["trig_label"].map(lambda v: trig_idx.get(v, 0)).to_numpy(np.int64)
     ya = pdf["arg_label"].map(lambda v: arg_idx.get(v, 0)).to_numpy(np.int64)
 
+    # affix tables go to the TRIGGER head only: type-level trigger
+    # classification transfers through suffixes ("-ware", "-tion"),
+    # while the argument head is span-identity — adding affixes to it
+    # measured Dice F1 0.81 -> 0.66 at the selected λ (diluted
+    # averaged-perceptron capacity), so it keeps the original key set
     trig = _train_head(f, yt, len(TRIGGER_LABELS), SEED)
-    arg = _train_head(f, ya, len(GOLD_ARG_LABELS), SEED + 1)
+    arg = _train_head(f, ya, len(GOLD_ARG_LABELS), SEED + 1,
+                      drop_keys=("pf3", "sf3", "sf4"))
 
     out: dict[str, np.ndarray] = {}
     for k, v in trig.items():
@@ -251,9 +261,9 @@ def weights_from_arrays(arrays: dict[str, np.ndarray],
         trigger_labels=[str(s) for s in arrays["trigger_labels"]],
         arg_labels=[str(s) for s in arrays["arg_labels"]],
         trig_ctx={k: arrays[f"trig_{k}"].astype(np.float32)
-                  for k in _CTX_KEYS},
+                  for k in _CTX_KEYS if f"trig_{k}" in arrays},
         arg_ctx={k: arrays[f"arg_{k}"].astype(np.float32)
-                 for k in _CTX_KEYS},
+                 for k in _CTX_KEYS if f"arg_{k}" in arrays},
         trig_trans=trig_trans,
         arg_trans=arg_trans,
     )

@@ -20,9 +20,14 @@ from casie_spark.operators.model_tagger import (
 def test_artifact_present_and_well_formed():
     w = load_weights(ARTIFACT_PATH)
     assert w.trig_ctx is not None, "trained artifact missing"
+    # the trigger head carries the full key set incl. affix tables;
+    # the argument head omits the affixes by design (train_tagger.train)
     for k in _CTX_KEYS:
-        assert k in w.trig_ctx and k in w.arg_ctx
+        assert k in w.trig_ctx
         assert np.isfinite(w.trig_ctx[k]).all()
+    for k in (set(_CTX_KEYS) - {"pf3", "sf3", "sf4"}):
+        assert k in w.arg_ctx
+        assert np.isfinite(w.arg_ctx[k]).all()
     assert w.trigger_labels[0] == "O" and w.arg_labels[0] == "O"
     assert len(w.arg_labels) == 22  # full gold argument inventory
 
@@ -68,8 +73,8 @@ def test_end_to_end_triple_quality_gate(spark):
     pred = run_pipeline(docs, id_col="doc_id", mode="model")
     m = triple_prf(pred, gold_triples(ann))
     ann.unpersist()
-    # measured r3 with the begin-repair head: P 0.694 / R 0.670 / F1
-    # 0.682 (pre-repair: 0.634)
-    assert m["f1"] >= 0.65, m
-    assert m["precision"] >= 0.66, m
-    assert m["recall"] >= 0.63, m
+    # measured r3 (begin repair + trigger-affix features): P 0.714 /
+    # R 0.693 / F1 0.704 (role fix alone: 0.634; +repair: 0.682)
+    assert m["f1"] >= 0.67, m
+    assert m["precision"] >= 0.68, m
+    assert m["recall"] >= 0.66, m
