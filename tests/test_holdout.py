@@ -7,11 +7,11 @@ trainfile/testfile lists (nug_arg_detection.py:232-275), with
 emissions, transitions AND the λ scale fit on the train folds only and
 mention + end-to-end triple metrics scored on the untouched fold.
 
-Measured (r3): held-out nugget Dice F1 0.454, argument 0.343, triple
-exact-key 0.146 (fold-restricted role/realis/linker heads included —
-the earlier full-corpus-artifact leak was worth ~0.005) — vs the same
-artifact's train-split 0.784 / 0.840 and the full-corpus memorization
-numbers (0.790 / 0.809 / 0.63, BASELINE.md).  The gap is real and documented: the model's features
+Measured (r3): held-out nugget Dice F1 0.467, argument 0.339, triple
+exact-key 0.158 (every learned head fold-restricted: tagger
+emissions/transitions/λ, begin repair, roles, realis, link ranker) —
+vs the same artifact's train-split 0.795 / 0.837 and the full-corpus
+memorization numbers (0.797 / 0.808 / 0.70, BASELINE.md).  The gap is real and documented: the model's features
 are lexical-identity hashes plus shape (no pretrained embeddings exist
 in this container), so unseen-vocabulary mentions are reachable only
 through shape/affix signal.  The gates pin the measured floors so a
