@@ -41,19 +41,25 @@ _CTX_COLS = ("_tok", "_p1", "_p1b", "_p2", "_p2b", "_nx", "_nxb")
 
 
 def load_begin_weights(path: str | None = None):
-    """Tables dict from the trained begin-repair artifact
-    (operators/train_begin.py), or None when absent.  Cached per
-    (process, path); an absent artifact is not pinned."""
+    """{"arg": tables, "trig": tables} from the trained begin-repair
+    artifact (operators/train_begin.py trains one shift head per span
+    kind — argument spans keyed by arg_type, trigger spans by
+    subtype), or None when absent.  Cached per (process, path); an
+    absent artifact is not pinned."""
     p = path or BEGIN_ARTIFACT
     if p in _BEGIN_CACHE:
         return _BEGIN_CACHE[p]
     if not os.path.exists(p):
         return None
     z = np.load(p, allow_pickle=False)
-    tables = {k[6:]: z[k].astype(np.float32)
-              for k in z.files if k.startswith("begin_")}
-    _BEGIN_CACHE[p] = tables
-    return tables
+    out = {}
+    for head in ("arg", "trig"):
+        tables = {k[len(head) + 1:]: z[k].astype(np.float32)
+                  for k in z.files if k.startswith(head + "_")}
+        if tables:
+            out[head] = tables
+    _BEGIN_CACHE[p] = out or None
+    return _BEGIN_CACHE[p]
 
 
 def with_begin_context(tagged: DataFrame) -> DataFrame:
@@ -93,15 +99,29 @@ def arguments_with_context(tagged: DataFrame,
         ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]])
 
 
-def repair_begins(args: DataFrame, weights) -> DataFrame:
-    """Apply the trained shift head to an arguments frame produced by
-    arguments_with_context().  Adjusts begin / text / first_token_id /
-    n_tokens; end is untouched (begin-only repair).  Predicted shifts
-    whose target is unavailable (sentence edge, single-token span for
-    +1) fall back to keep-as-is.  Rebuilt text pads inter-token gaps
-    with spaces — begins/ends stay exact (they come from the token
-    stream), only non-space whitespace inside the gap is approximated.
-    Drops the context columns."""
+def events_with_context(tagged: DataFrame,
+                        carry: list[str] | None = None) -> DataFrame:
+    """extract_events variant of arguments_with_context — trigger
+    spans carry the same neighbor-context columns for the trigger
+    shift head."""
+    from .linking import extract_events
+
+    ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
+    return extract_events(
+        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]])
+
+
+def repair_begins(args: DataFrame, weights,
+                  label_col: str = "arg_type") -> DataFrame:
+    """Apply a trained shift head to a span frame produced by
+    arguments_with_context() / events_with_context() (``label_col``:
+    "arg_type" for argument spans, "subtype" for trigger spans).
+    Adjusts begin / text / first_token_id / n_tokens; end is untouched
+    (begin-only repair).  Predicted shifts whose target is unavailable
+    (sentence edge, single-token span for +1) fall back to keep-as-is.
+    Rebuilt text pads inter-token gaps with spaces — begins/ends stay
+    exact (they come from the token stream), only non-space whitespace
+    inside the gap is approximated.  Drops the context columns."""
     if weights is None:
         return args.drop(*_CTX_COLS)
     bc = args.sparkSession.sparkContext.broadcast(weights)
@@ -118,7 +138,7 @@ def repair_begins(args: DataFrame, weights) -> DataFrame:
         return pd.Series(np.asarray(SHIFTS, np.int32)[cls])
 
     df = args.withColumn(
-        "_sh", _shift("arg_type", "_tok", "_p1", "_p2", "_nx"))
+        "_sh", _shift(label_col, "_tok", "_p1", "_p2", "_nx"))
     # guard: fall back to 0 when the shift target does not exist
     df = df.withColumn(
         "_sh",

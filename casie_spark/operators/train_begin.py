@@ -17,7 +17,11 @@ absent upstream): a summed-gather linear model over hashed surface
 features of the span's first token and its sentence neighbors,
 mini-batch averaged perceptron, fixed seed/schedule, bit-reproducible
 artifact.  Classes are token shifts {-2, -1, 0, +1} applied to the
-predicted span begin (begin_repair.SHIFTS).
+predicted span begin (begin_repair.SHIFTS).  TWO heads share the
+recipe: argument spans (keyed by arg_type) and trigger spans (keyed
+by subtype — measured exact-begin trigger recall 0.864 vs 0.942
+overlap, the same left-edge profile), stored in one artifact under
+arg_* / trig_* keys.
 
 Training pairs: model-tag the corpus, align each predicted argument
 span to its best-overlapping same-type gold span, label = the token
@@ -121,18 +125,30 @@ def train_begin_head(f: dict[str, np.ndarray], y: np.ndarray,
     return {k: (avg[k] / max(navg, 1)).astype(np.float32) for k in tables}
 
 
-def build_training_frame(spark, doc_ids=None, tagger_weights=None):
-    """Aligned (predicted arg span, gold begin-shift class) pairs from
-    the model-tagged corpus.  ``doc_ids`` restricts to a document
-    subset and ``tagger_weights`` overrides the committed tagger
-    artifact — the held-out protocol passes both."""
+def build_training_frame(spark, doc_ids=None, tagger_weights=None,
+                         head: str = "arg"):
+    """Aligned (predicted span, gold begin-shift class) pairs from the
+    model-tagged corpus — one frame per span kind (``head``: "arg"
+    aligns argument spans to gold arguments by arg_type, "trig"
+    aligns trigger spans to gold nuggets by subtype).  ``doc_ids``
+    restricts to a document subset and ``tagger_weights`` overrides
+    the committed tagger artifact — the held-out protocol passes
+    both.  Output columns: label, _tok, _p1, _p2, _nx, cls."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..pipeline import tagged_tokens
-    from ..sources.annotations import gold_arguments, load_annotations
+    from ..sources.annotations import (
+        gold_arguments,
+        gold_events,
+        load_annotations,
+    )
     from ..util import materialize, truncate
-    from .begin_repair import SHIFTS, arguments_with_context
+    from .begin_repair import (
+        SHIFTS,
+        arguments_with_context,
+        events_with_context,
+    )
 
     ann = load_annotations(spark)
     if doc_ids is not None:
@@ -142,19 +158,28 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None):
     tagged = materialize(
         tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False,
                       tagger_weights=tagger_weights))
-    args = truncate(arguments_with_context(tagged))
-
-    ga = gold_arguments(ann).select(
-        F.col("doc_id").alias("g_doc"), F.col("begin").alias("g_begin"),
-        F.col("end").alias("g_end"),
-        F.col("arg_type").alias("g_type")).distinct()
-    j = args.join(
-        ga, (args.doc_id == ga.g_doc) & (args.begin < ga.g_end)
-        & (args.end > ga.g_begin) & (args.arg_type == ga.g_type), "inner"
-    ).withColumn("ov", F.least(args.end, ga.g_end)
-                 - F.greatest(args.begin, ga.g_begin))
-    w = Window.partitionBy("doc_id", "arg_id").orderBy(
-        F.desc("ov"), "g_begin")
+    if head == "arg":
+        spans = truncate(arguments_with_context(tagged))
+        label, sid = "arg_type", "arg_id"
+        gold = gold_arguments(ann).select(
+            F.col("doc_id").alias("g_doc"), F.col("begin").alias("g_begin"),
+            F.col("end").alias("g_end"),
+            F.col("arg_type").alias("g_label")).distinct()
+    else:
+        spans = truncate(events_with_context(tagged))
+        label, sid = "subtype", "event_id"
+        gold = gold_events(ann).select(
+            F.col("doc_id").alias("g_doc"),
+            F.col("nugget_begin").alias("g_begin"),
+            F.col("nugget_end").alias("g_end"),
+            F.col("subtype").alias("g_label")).distinct()
+    j = spans.join(
+        gold, (spans.doc_id == gold.g_doc) & (spans.begin < gold.g_end)
+        & (spans.end > gold.g_begin) & (spans[label] == gold.g_label),
+        "inner",
+    ).withColumn("ov", F.least(spans.end, gold.g_end)
+                 - F.greatest(spans.begin, gold.g_begin))
+    w = Window.partitionBy("doc_id", sid).orderBy(F.desc("ov"), "g_begin")
     pairs = (
         j.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
         .withColumn("cls", F.when(F.col("g_begin") == F.col("begin"),
@@ -166,9 +191,10 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None):
                     .when(F.col("g_begin") == F.col("_nxb"),
                           SHIFTS.index(1)))
         .filter(F.col("cls").isNotNull())
-        .select("doc_id", "arg_id", "arg_type", "_tok", "_p1", "_p2",
+        .select("doc_id", F.col(sid).alias("span_id"),
+                F.col(label).alias("label"), "_tok", "_p1", "_p2",
                 "_nx", "cls")
-        .orderBy("doc_id", "arg_id")
+        .orderBy("doc_id", "span_id")
     )
     pdf = pairs.toPandas()
     tagged.unpersist()
@@ -176,21 +202,40 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None):
 
 
 def train(pdf) -> dict[str, np.ndarray]:
+    """One head's aligned-pair frame -> unprefixed float16 tables."""
     from .begin_repair import SHIFTS
 
-    f = begin_features(pdf["arg_type"].tolist(), pdf["_tok"].tolist(),
+    f = begin_features(pdf["label"].tolist(), pdf["_tok"].tolist(),
                        pdf["_p1"].tolist(), pdf["_p2"].tolist(),
                        pdf["_nx"].tolist())
     y = pdf["cls"].to_numpy(np.int64)
     tables = train_begin_head(f, y, len(SHIFTS))
-    return {f"begin_{k}": v.astype(np.float16) for k, v in tables.items()}
+    return {k: v.astype(np.float16) for k, v in tables.items()}
+
+
+def train_arrays(spark, doc_ids=None, tagger_weights=None
+                 ) -> dict[str, np.ndarray]:
+    """Both heads -> one artifact array dict (arg_* / trig_* keys)."""
+    out: dict[str, np.ndarray] = {}
+    for head in ("arg", "trig"):
+        pdf = build_training_frame(spark, doc_ids=doc_ids,
+                                   tagger_weights=tagger_weights,
+                                   head=head)
+        for k, v in train(pdf).items():
+            out[f"{head}_{k}"] = v
+    return out
 
 
 def arrays_to_weights(arrays):
-    """train() arrays -> the tables dict begin_repair.repair_begins
-    consumes (same shape as load_begin_weights)."""
-    return {k[6:]: arrays[k].astype(np.float32)
-            for k in arrays if k.startswith("begin_")}
+    """train_arrays() dict -> the {"arg": tables, "trig": tables}
+    structure load_begin_weights returns."""
+    out = {}
+    for head in ("arg", "trig"):
+        tables = {k[len(head) + 1:]: arrays[k].astype(np.float32)
+                  for k in arrays if k.startswith(head + "_")}
+        if tables:
+            out[head] = tables
+    return out or None
 
 
 def save_artifact(arrays, path: str | None = None) -> str:
@@ -204,23 +249,27 @@ def save_artifact(arrays, path: str | None = None) -> str:
 
 def main() -> None:  # pragma: no cover - CLI entry
     from ..session import get_spark
+    from .begin_repair import SHIFTS
 
     spark = get_spark("train-begin", master="local[16]",
                       shuffle_partitions=16)
-    pdf = build_training_frame(spark)
-    print(f"aligned pairs: {len(pdf)}")
-    arrays = train(pdf)
-    tables = arrays_to_weights(arrays)
-    f = begin_features(pdf["arg_type"].tolist(), pdf["_tok"].tolist(),
-                       pdf["_p1"].tolist(), pdf["_p2"].tolist(),
-                       pdf["_nx"].tolist())
-    y = pdf["cls"].to_numpy(np.int64)
-    pred = _logits(tables, f).argmax(axis=1)
-    from .begin_repair import SHIFTS
-
-    base = float((y == SHIFTS.index(0)).mean())
-    acc = float((pred == y).mean())
-    print(f"begin accuracy: {acc:.4f} (keep-as-is baseline {base:.4f})")
+    arrays: dict[str, np.ndarray] = {}
+    for head in ("arg", "trig"):
+        pdf = build_training_frame(spark, head=head)
+        print(f"{head}: aligned pairs: {len(pdf)}")
+        tables16 = train(pdf)
+        for k, v in tables16.items():
+            arrays[f"{head}_{k}"] = v
+        tables = {k: v.astype(np.float32) for k, v in tables16.items()}
+        f = begin_features(pdf["label"].tolist(), pdf["_tok"].tolist(),
+                           pdf["_p1"].tolist(), pdf["_p2"].tolist(),
+                           pdf["_nx"].tolist())
+        y = pdf["cls"].to_numpy(np.int64)
+        pred = _logits(tables, f).argmax(axis=1)
+        base = float((y == SHIFTS.index(0)).mean())
+        acc = float((pred == y).mean())
+        print(f"{head}: begin accuracy {acc:.4f} "
+              f"(keep-as-is baseline {base:.4f})")
     path = save_artifact(arrays)
     print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 

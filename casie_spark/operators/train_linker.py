@@ -77,17 +77,24 @@ def build_training_pools(spark, doc_ids=None, tagger_weights=None,
     tagged = materialize(
         tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False,
                       tagger_weights=tagger_weights))
-    events = truncate(extract_events(tagged))
     if begin_weights == "auto":
         from .begin_repair import load_begin_weights
 
         begin_weights = load_begin_weights()
-    if begin_weights is not None:
-        from .begin_repair import arguments_with_context, repair_begins
+    if begin_weights:
+        from .begin_repair import (
+            arguments_with_context,
+            events_with_context,
+            repair_begins,
+        )
 
+        events = truncate(repair_begins(
+            events_with_context(tagged), begin_weights.get("trig"),
+            label_col="subtype"))
         args = truncate(repair_begins(
-            arguments_with_context(tagged), begin_weights))
+            arguments_with_context(tagged), begin_weights.get("arg")))
     else:
+        events = truncate(extract_events(tagged))
         args = truncate(extract_arguments(tagged))
     cand = candidate_frame(events, args, tagged)
 

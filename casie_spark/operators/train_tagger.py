@@ -449,8 +449,8 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
     from . import train_begin, train_linker, train_realis, train_roles
 
     begin_w = train_begin.arrays_to_weights(
-        train_begin.train(train_begin.build_training_frame(
-            spark, doc_ids=train_docs, tagger_weights=w)))
+        train_begin.train_arrays(spark, doc_ids=train_docs,
+                                 tagger_weights=w))
     role_w = train_roles.arrays_to_weights(
         train_roles.train(train_roles.build_training_frame(
             spark, doc_ids=train_docs)))

@@ -139,9 +139,10 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
     mode=model pipelines use); ``role_route``/``role_canon``: provider
     routing and gold-vocabulary canonicalization, forwarded to
     assign_roles (mode=model passes "all"/True); ``begin_weights``:
-    optional trained begin-repair tables (operators.begin_repair) —
-    mode=model snaps argument begins onto the gold left-edge
-    convention before linking."""
+    optional trained begin-repair weights ({"arg": tables, "trig":
+    tables}, operators.begin_repair) — mode=model snaps argument AND
+    trigger begins onto the gold left-edge convention before
+    linking."""
     # events is referenced 3-5x downstream (realis windows, sentence
     # lookup, candidate join).  It is EVENT-scale (~100x smaller than
     # the token stream), so the barrier is `truncate` rather than
@@ -151,7 +152,17 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
     # driver otherwise pays per AQE job were the serial bottleneck.
     # The token-scale `tagged` frame keeps the cheaper columnar
     # materialize (its subtree renders once per reference, bounded).
-    events = truncate(extract_events(tagged, carry=["realis"]))
+    if begin_weights and begin_weights.get("trig"):
+        from .operators.begin_repair import (
+            events_with_context,
+            repair_begins,
+        )
+
+        events = truncate(repair_begins(
+            events_with_context(tagged, carry=["realis"]),
+            begin_weights["trig"], label_col="subtype"))
+    else:
+        events = truncate(extract_events(tagged, carry=["realis"]))
     if "realis" not in events.columns:
         # rules/model tagging carries no realis — run the M4 stage
         # (two-pass cue classifier over the ±7-token W2 window); gold
@@ -161,14 +172,15 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
         events = truncate(with_realis(
             events, tagged,
             provider=realis_provider or classify_realis_rules))
-    if begin_weights is not None:
+    if begin_weights and begin_weights.get("arg"):
         from .operators.begin_repair import (
             arguments_with_context,
             repair_begins,
         )
 
         args = repair_begins(
-            arguments_with_context(tagged, carry=["role"]), begin_weights)
+            arguments_with_context(tagged, carry=["role"]),
+            begin_weights["arg"])
     else:
         args = extract_arguments(tagged, carry=["role"])
     linked = (link_provider or link)(events, args, tagged)

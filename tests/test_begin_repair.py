@@ -119,6 +119,24 @@ def test_none_weights_passthrough(spark, tagged):
     assert not [c for c in out.columns if c.startswith("_")]
 
 
+def test_trigger_head_path(spark, tagged):
+    """events_with_context + repair with label_col=subtype: the
+    trigger-span variant used by the pipeline's event side."""
+    from casie_spark.operators.begin_repair import events_with_context
+
+    ev = events_with_context(
+        tagged.withColumn("trigger_tag",
+                          F.when(F.col("token") == "flaw", "B-Databreach")
+                          .otherwise("O"))
+        .withColumn("arg_tag", F.lit("O")))
+    out = repair_begins(ev, forced_weights(SHIFTS.index(-1)),
+                        label_col="subtype")
+    got = spans_by_begin(out)
+    # "flaw" trigger pulled onto "critical"
+    assert 34 in got and got[34]["text"] == "critical flaw"
+    assert got[34]["subtype"] == "Databreach"
+
+
 def test_featurizer_deterministic_and_null_safe():
     f1 = begin_features(["Data", "CVE"], ["flaw", "CVE-2021-1"],
                         ["the", None], [None, "of"], ["was", None])
