@@ -8,10 +8,10 @@ emissions, transitions AND the λ scale fit on the train folds only and
 mention + end-to-end triple metrics scored on the untouched fold.
 
 Measured (r3): held-out nugget Dice F1 0.467, argument 0.339, triple
-exact-key 0.158 (every learned head fold-restricted: tagger
-emissions/transitions/λ, begin repair, roles, realis, link ranker) —
-vs the same artifact's train-split 0.795 / 0.837 and the full-corpus
-memorization numbers (0.797 / 0.808 / 0.70, BASELINE.md).  The gap is real and documented: the model's features
+exact-key 0.166 (every learned head fold-restricted: tagger
+emissions/transitions/λ, two-head begin repair, roles, realis, link
+ranker) — vs the same artifact's train-split 0.795 / 0.837 and the
+full-corpus memorization numbers (0.797 / 0.808 / 0.73, BASELINE.md).  The gap is real and documented: the model's features
 are lexical-identity hashes plus shape (no pretrained embeddings exist
 in this container), so unseen-vocabulary mentions are reachable only
 through shape/affix signal.  The gates pin the measured floors so a
@@ -42,10 +42,10 @@ def metrics():
 def test_holdout_metrics_recorded_and_floored(metrics):
     assert metrics["n_folds"] == N_FOLDS
     assert metrics["n_train_docs"] + metrics["n_test_docs"] == 1000
-    # held-out floors (measured r3: 0.454 / 0.343 / 0.151)
+    # held-out floors (measured r3: 0.467 / 0.339 / 0.166)
     assert metrics["heldout_nugget"]["f1"] >= 0.42, metrics["heldout_nugget"]
     assert metrics["heldout_argument"]["f1"] >= 0.30, metrics["heldout_argument"]
-    assert metrics["heldout_triples"]["f1"] >= 0.13, metrics["heldout_triples"]
+    assert metrics["heldout_triples"]["f1"] >= 0.14, metrics["heldout_triples"]
     # the train side of the same weights must stay near the deployment
     # fit — if it collapses, the holdout artifact was produced by a
     # broken trainer rather than a generalization-limited one
