@@ -121,7 +121,16 @@ def repair_begins(args: DataFrame, weights,
     (sentence edge, single-token span for +1) fall back to keep-as-is.
     Rebuilt text pads inter-token gaps with spaces — begins/ends stay
     exact (they come from the token stream), only non-space whitespace
-    inside the gap is approximated.  Drops the context columns."""
+    inside the gap is approximated.  Drops the context columns.
+
+    Known limitation: a left shift does not check whether the absorbed
+    neighbor token is the I- tail of the PRECEDING predicted span, so
+    two repaired spans can overlap (duplicate token ownership
+    downstream).  The exact-begin triple key and the Dice mention
+    scorer both tolerate overlaps, and the trained head conditions on
+    the previous token's surface form (a same-stream span tail rarely
+    matches the gold determiner/modifier contexts the shift classes
+    fire on), so the shifts are kept unguarded."""
     if weights is None:
         return args.drop(*_CTX_COLS)
     bc = args.sparkSession.sparkContext.broadcast(weights)

@@ -91,6 +91,46 @@ def lex_bucket(text: str, key: str) -> int:
     return int.from_bytes(h[:4], "little") % LEXDIM
 
 
+def lex_bucket_col(text, key):
+    """JVM twin of :func:`lex_bucket` — the identical bucket computed
+    with built-in expressions (head-word stem via a when-chain, md5,
+    low 12 bits little-endian), so the scoring pandas_udf does ZERO
+    per-row Python hashing (r3 VERDICT wrong #3 / next #8) while the
+    committed artifact — trained on the Python function — stays valid
+    bit-for-bit (tests/test_linker.py asserts the parity)."""
+    s = F.coalesce(text.cast("string"), F.lit("None"))
+    parts = F.split(s, r"\s+")
+    head = F.coalesce(
+        F.get(F.filter(parts, lambda x: x != ""), 0), F.lit(""))
+    w = F.lower(head)
+
+    def _strip(n):
+        return F.substring(w, F.lit(1), F.length(w) - n)
+
+    stem = (
+        F.when((F.length(w) > 5) & w.endswith("ing"), _strip(3))
+        .when((F.length(w) > 4) & w.endswith("ed"), _strip(2))
+        .when((F.length(w) > 4) & w.endswith("es"), _strip(2))
+        .when((F.length(w) > 3) & w.endswith("s"), _strip(1))
+        .otherwise(w))
+    hx = F.md5(F.concat(stem, F.lit("|"), key))
+    # int.from_bytes(digest[:4], "little") % 4096 only sees digest[0]
+    # and the low nibble of digest[1] (hex chars 1-2 and 3-4)
+    b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    b1 = F.conv(F.substring(hx, 3, 2), 16, 10).cast("int")
+    return (b0 + (b1 % 16) * 256).cast("int")
+
+
+def pair_index_col(subtype, arg_type):
+    """JVM twin of ``PAIR_INDEX[(subtype, arg_type)]`` (the index is
+    s_idx * len(ARG_TYPES) + a_idx by construction)."""
+    smap = F.create_map(
+        *[F.lit(x) for i, s in enumerate(SUBTYPES) for x in (s, i)])
+    amap = F.create_map(
+        *[F.lit(x) for i, a in enumerate(ARG_TYPES) for x in (a, i)])
+    return (smap[subtype] * len(ARG_TYPES) + amap[arg_type]).cast("int")
+
+
 def base_vector(d, absd, same_sent, nearest, first_ev, n_cand,
                 commas, trigs) -> np.ndarray:
     """The N_BASE numeric features, one row per candidate (vectorized
@@ -113,7 +153,10 @@ def base_vector(d, absd, same_sent, nearest, first_ev, n_cand,
 def score_rows(pdf, w_base: np.ndarray, w_pair: np.ndarray,
                lex_trig: np.ndarray, lex_arg: np.ndarray) -> np.ndarray:
     """Candidate rows (pandas) -> scores.  The shared train/serve
-    kernel: base dot product + pair-table + two lexicon gathers."""
+    kernel: base dot product + pair-table + two lexicon gathers.
+    ``pair_idx``/``l1``/``l2`` are computed JVM-side by
+    :func:`candidate_frame` (pair_index_col / lex_bucket_col), so this
+    kernel is pure numpy — no per-row Python."""
     X = base_vector(
         pdf["d"].to_numpy(np.float64),
         pdf["absd"].to_numpy(np.float64),
@@ -124,12 +167,9 @@ def score_rows(pdf, w_base: np.ndarray, w_pair: np.ndarray,
         pdf["commas"].to_numpy(np.float64),
         pdf["trigs"].to_numpy(np.float64),
     )
-    pair = np.array([PAIR_INDEX[(s, a)] for s, a in
-                     zip(pdf["subtype"], pdf["arg_type"])])
-    l1 = np.array([lex_bucket(t, a) for t, a in
-                   zip(pdf["event_text"], pdf["arg_type"])])
-    l2 = np.array([lex_bucket(t, s) for t, s in
-                   zip(pdf["arg_text"], pdf["subtype"])])
+    pair = pdf["pair_idx"].to_numpy(np.int64)
+    l1 = pdf["l1"].to_numpy(np.int64)
+    l2 = pdf["l2"].to_numpy(np.int64)
     return X @ w_base + w_pair[pair] + lex_trig[l1] + lex_arg[l2]
 
 
@@ -212,6 +252,12 @@ def candidate_frame(events: DataFrame, args: DataFrame,
                     (F.row_number().over(wnear) == 1).cast("double"))
         .withColumn("first_ev",
                     (F.row_number().over(wfirst) == 1).cast("double"))
+        .withColumn("pair_idx",
+                    pair_index_col(F.col("subtype"), F.col("arg_type")))
+        .withColumn("l1",
+                    lex_bucket_col(F.col("event_text"), F.col("arg_type")))
+        .withColumn("l2",
+                    lex_bucket_col(F.col("arg_text"), F.col("subtype")))
     )
 
 
@@ -220,12 +266,13 @@ _LINKER_CACHE: dict[str, tuple | None] = {}
 
 def load_linker_weights(path: str | None = None):
     """(w_base, w_pair, lex_trig, lex_arg) or None when no artifact.
-    Cached per (process, path)."""
+    Cached per (process, path); absence is NOT pinned (matching
+    load_begin_weights — a probe before training must not mask the
+    artifact save_artifact writes later)."""
     p = path or LINKER_ARTIFACT
     if p in _LINKER_CACHE:
         return _LINKER_CACHE[p]
     if not os.path.exists(p):
-        _LINKER_CACHE[p] = None
         return None
     z = np.load(p, allow_pickle=False)
     out = (z["w_base"].astype(np.float64), z["w_pair"].astype(np.float64),
@@ -256,15 +303,14 @@ def link_trained(events: DataFrame, arguments: DataFrame,
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _score(subtype, arg_type, event_text, arg_text,
+    def _score(pair_idx, l1, l2,
                d, absd, same_sent, nearest, first_ev, n_cand,
                commas, trigs):
         import pandas as pd
 
         w_base, w_pair, lex_trig, lex_arg = bc.value
         pdf = pd.DataFrame({
-            "subtype": subtype, "arg_type": arg_type,
-            "event_text": event_text, "arg_text": arg_text,
+            "pair_idx": pair_idx, "l1": l1, "l2": l2,
             "d": d, "absd": absd, "same_sent": same_sent,
             "nearest": nearest, "first_ev": first_ev, "n_cand": n_cand,
             "commas": commas, "trigs": trigs,
@@ -272,7 +318,7 @@ def link_trained(events: DataFrame, arguments: DataFrame,
         return pd.Series(score_rows(pdf, w_base, w_pair, lex_trig, lex_arg))
 
     scored = cand.withColumn("link_score", _score(
-        "subtype", "arg_type", "event_text", "arg_text",
+        "pair_idx", "l1", "l2",
         "d", "absd", "same_sent", "nearest", "first_ev", "n_cand",
         "commas", "trigs"))
     wpick = Window.partitionBy("doc_id", "arg_id").orderBy(

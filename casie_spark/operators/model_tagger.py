@@ -410,17 +410,32 @@ def invalidate_weight_cache(path: str | None = None) -> None:
         _CACHED_WEIGHTS.pop(path, None)
 
 
-def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFrame:
+def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None,
+              presorted: bool = True) -> DataFrame:
     """tokens -> + trigger_tag, arg_tag via broadcast-weight batched
     inference.  Regex/shape argument classes (CVE, Version, Money,
     Number, year) stay JVM-side — they backstop the model exactly like
-    the reference's findargument rules (link_coref.py:751-786)."""
+    the reference's findargument rules (link_coref.py:751-786).
+
+    ORDERING PRECONDITION (``presorted=True``, the pipeline path): the
+    decoder derives sentence boundaries from physical row adjacency, so
+    each partition must stream tokens in (doc_id, sent_id, token_id)
+    emission order with no document split across partitions — exactly
+    what the tokenizer emits.  A cheap vectorized monotonicity check
+    inside the decoder raises on violations instead of silently
+    mis-segmenting.  Callers holding a shuffled / re-read token frame
+    must pass ``presorted=False``, which co-locates and sorts first
+    (one extra exchange on the safety path only)."""
     from pyspark.sql import types as T
 
     spark = tokens.sparkSession
     if weights is None:
         weights = load_weights()
     bc = spark.sparkContext.broadcast(weights)
+
+    if not presorted:
+        tokens = tokens.repartition(F.col("doc_id")).sortWithinPartitions(
+            "doc_id", "sent_id", "token_id")
 
     # Sentence-structured inference must see whole sentences (Viterbi
     # over the label sequence), so the stage is mapInPandas directly on
@@ -445,6 +460,9 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
         w = bc.value  # one deserialization per worker, reused per batch
         tl = np.array(w.trigger_labels, dtype=object)
         al = np.array(w.arg_labels, dtype=object)
+        seen_sents: set = set()  # (doc, sent) keys already closed in
+        #                          this partition — a reappearance means
+        #                          the input violated emission order
 
         def _block(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
@@ -453,6 +471,27 @@ def tag_model(tokens: DataFrame, weights: TaggerWeights | None = None) -> DataFr
             new_sent = np.ones(n, dtype=bool)
             if n > 1:
                 new_sent[1:] = (doc[1:] != doc[:-1]) | (sent[1:] != sent[:-1])
+            # ordering-precondition guard (see tag_model docstring):
+            # token_id strictly increasing inside each sentence run, and
+            # no sentence key reappearing after it closed.  Vectorized +
+            # sentence-scale — negligible next to the logit gathers.
+            tid = pdf["token_id"].to_numpy()
+            cont = ~new_sent
+            if n > 1 and np.any(tid[1:][cont[1:]] <= tid[:-1][cont[1:]]):
+                raise ValueError(
+                    "tag_model: token_id not increasing within a "
+                    "sentence — input violates (doc_id, sent_id, "
+                    "token_id) emission order; call with "
+                    "presorted=False")
+            for i in np.flatnonzero(new_sent):
+                k = (doc[i], sent[i])
+                if k in seen_sents:
+                    raise ValueError(
+                        "tag_model: sentence (doc_id=%r, sent_id=%r) "
+                        "split non-contiguously in a partition — input "
+                        "violates emission order; call with "
+                        "presorted=False" % k)
+                seen_sents.add(k)
             toks = pdf["token"].astype(str).tolist()
             prevs = [None if new_sent[i] else toks[i - 1] for i in range(n)]
             nexts = [toks[i + 1] if i + 1 < n and not new_sent[i + 1] else None

@@ -34,10 +34,8 @@ from .linker import (
     LINKER_ARTIFACT,
     N_BASE,
     N_PAIR,
-    PAIR_INDEX,
     base_vector,
     candidate_frame,
-    lex_bucket,
 )
 
 SEED = 20260817
@@ -118,8 +116,8 @@ def build_training_pools(spark, doc_ids=None, tagger_weights=None,
         ["doc_id", "arg_id", "event_begin"], "left",
     ).fillna({"is_gold": 0})
     pdf = out.select(
-        "doc_id", "arg_id", "event_id", "subtype", "arg_type",
-        "event_text", "arg_text", "d", "absd", "same_sent", "nearest",
+        "doc_id", "arg_id", "event_id", "pair_idx", "l1", "l2",
+        "d", "absd", "same_sent", "nearest",
         "first_ev", "n_cand", "commas", "trigs", "is_gold",
     ).toPandas()
     return pdf.sort_values(
@@ -141,12 +139,13 @@ def _pool_arrays(pdf):
             g["commas"].to_numpy(np.float64),
             g["trigs"].to_numpy(np.float64),
         )
-        pair = np.array([PAIR_INDEX[(s, a)] for s, a in
-                         zip(g["subtype"], g["arg_type"])])
-        l1 = np.array([lex_bucket(t, a) for t, a in
-                       zip(g["event_text"], g["arg_type"])])
-        l2 = np.array([lex_bucket(t, s) for t, s in
-                       zip(g["arg_text"], g["subtype"])])
+        # the pair/lexicon indices are computed JVM-side by
+        # candidate_frame (pair_index_col / lex_bucket_col) — the SAME
+        # expressions the scorer consumes, so there is no train/serve
+        # hashing skew by construction
+        pair = g["pair_idx"].to_numpy(np.int64)
+        l1 = g["l1"].to_numpy(np.int64)
+        l2 = g["l2"].to_numpy(np.int64)
         gold = np.flatnonzero(g["is_gold"].to_numpy())
         pools.append((X, pair, l1, l2, gold))
     return pools

@@ -51,11 +51,15 @@ def doc_key(col):
 
 
 def doc_key128(col):
-    """16-byte document key for true web scale: two independently
-    salted xxhash64 halves packed into a struct — expected colliding
-    pairs ≈ n²/2^129 (~10^-15 at n = 10^12).  Struct keys hash, sort
-    and join natively; use where an 8-byte key's ~10^4 colliding pairs
-    per 10^12 docs matter (exact dedup ledgers, provenance joins)."""
+    """16-byte document key for true web scale: two distinct xxhash64
+    digests packed into a struct (the second hashes the input with an
+    appended constant, so the halves come from one hash family and are
+    correlated — this widens the key to 128 bits but is NOT two
+    independent hashes; a uniform-hash n²/2^129 collision bound does
+    not strictly apply, though no correlated collision is known for
+    xxhash64 under distinct inputs).  Struct keys hash, sort and join
+    natively; use where an 8-byte key's ~10^4 colliding pairs per
+    10^12 docs matter (exact dedup ledgers, provenance joins)."""
     s = col.cast("string")
     return F.struct(
         F.xxhash64(s).alias("h0"),

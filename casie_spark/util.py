@@ -10,6 +10,12 @@ from pyspark.sql import DataFrame
 # active persist trackers (see track_persists); a stack so nested
 # scopes each release only their own frames
 _PERSIST_TRACKERS: list[list[DataFrame]] = []
+# parallel stack of RDD ids that truncate() checkpointed inside the
+# scope — track_persists frees exactly these, never RDDs persisted by
+# concurrent work sharing the session (ADVICE r3: the session-wide
+# before/after diff could unpersist another in-flight job's
+# localCheckpoint blocks, which are unrecoverable once freed)
+_RDD_TRACKERS: list[list[int]] = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -58,11 +64,12 @@ def cache_lazy(df: DataFrame) -> DataFrame:
 @contextlib.contextmanager
 def track_persists() -> Iterator[list[DataFrame]]:
     """Release every block cached inside the scope when it exits:
-    frames :func:`materialize` / :func:`cache_lazy` persisted, AND any
-    RDD blocks that became persistent during the block — which is how
-    :func:`truncate` (localCheckpoint) blocks get freed, since they are
-    invisible to the SQL CacheManager and ``df.unpersist()`` cannot
+    frames :func:`materialize` / :func:`cache_lazy` persisted, AND the
+    RDD blocks :func:`truncate` (localCheckpoint) registered — those
+    are invisible to the SQL CacheManager and ``df.unpersist()`` cannot
     reach them (they otherwise wait for driver-GC ContextCleaner).
+    Only ids truncate() itself registered are freed, so concurrent
+    queries sharing the session keep their own persisted blocks.
 
     Long-running drivers that invoke the pipeline repeatedly — above
     all ``foreachBatch`` streaming sinks firing every trigger — would
@@ -70,23 +77,23 @@ def track_persists() -> Iterator[list[DataFrame]]:
     until executor storage memory is exhausted."""
     from pyspark.sql import SparkSession
 
-    active = SparkSession.getActiveSession()
-    before: set[int] = set()
-    if active is not None:
-        jmap = active.sparkContext._jsc.getPersistentRDDs()
-        before = {int(rid) for rid in jmap.keySet().toArray()}
     bucket: list[DataFrame] = []
+    rdd_bucket: list[int] = []
     _PERSIST_TRACKERS.append(bucket)
+    _RDD_TRACKERS.append(rdd_bucket)
     try:
         yield bucket
     finally:
         _PERSIST_TRACKERS.pop()
+        _RDD_TRACKERS.pop()
         for df in bucket:
             df.unpersist()
-        if active is not None:
+        active = SparkSession.getActiveSession()
+        if active is not None and rdd_bucket:
             jmap = active.sparkContext._jsc.getPersistentRDDs()
+            wanted = set(rdd_bucket)
             for rid in jmap.keySet().toArray():
-                if int(rid) not in before:
+                if int(rid) in wanted:
                     jmap.get(rid).unpersist()
 
 
@@ -100,5 +107,21 @@ def truncate(df: DataFrame) -> DataFrame:
     a leaf over cached partitions.  Costlier than :func:`materialize`
     (stores raw rows, not columnar batches), so use it only where the
     plan must be cut; on a cluster use ``df.checkpoint()`` (replayable
-    on executor loss) instead."""
+    on executor loss) instead.
+
+    Inside a :func:`track_persists` scope the checkpointed RDD ids are
+    registered with the active bucket (found by diffing the session's
+    persistent-RDD map across the eager checkpoint — a window tight
+    enough that only this call's blocks land in it) so the scope exit
+    can free them."""
+    sc = df.sparkSession.sparkContext
+    if _RDD_TRACKERS:
+        jmap = sc._jsc.getPersistentRDDs()
+        before = {int(rid) for rid in jmap.keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        jmap = sc._jsc.getPersistentRDDs()
+        _RDD_TRACKERS[-1].extend(
+            int(rid) for rid in jmap.keySet().toArray()
+            if int(rid) not in before)
+        return out
     return df.localCheckpoint(eager=True)

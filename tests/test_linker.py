@@ -40,6 +40,44 @@ def test_lex_bucket_stable():
     assert 0 <= lex_bucket("anything", "X") < LEXDIM
 
 
+def test_lex_bucket_col_matches_python(spark):
+    """The JVM bucket expression (lex_bucket_col) must agree bit-for-bit
+    with the Python hash the artifact was trained on — stem rule, md5
+    low bits, little-endian assembly, empty/whitespace edge cases."""
+    from casie_spark.operators.linker import (
+        ARG_TYPES,
+        PAIR_INDEX,
+        SUBTYPES,
+        lex_bucket_col,
+        pair_index_col,
+    )
+
+    texts = [
+        "stole records", "stealing", "steal", "leaked files", "phishes",
+        "patched", "ransomware attack", "CVE-2017-0144", "a", "es", "ss",
+        "", "   ", "Equifax breach", "users' data", "données volées",
+        "breached,", "$3.2 million", "ing", "kisses", "was", "dos",
+    ]
+    keys = ["Victim", "Databreach", "X", "Tool"]
+    rows = [(t, k) for t in texts for k in keys]
+    df = spark.createDataFrame(rows, "text string, key string")
+    got = df.select(
+        "text", "key",
+        lex_bucket_col(F.col("text"), F.col("key")).alias("b")).collect()
+    for r in got:
+        assert r["b"] == lex_bucket(r["text"], r["key"]), (
+            r["text"], r["key"])
+
+    prows = [(s, a) for s in SUBTYPES for a in ARG_TYPES]
+    pdf = spark.createDataFrame(prows, "subtype string, arg_type string")
+    pgot = pdf.select(
+        "subtype", "arg_type",
+        pair_index_col(F.col("subtype"), F.col("arg_type")).alias("i"),
+    ).collect()
+    for r in pgot:
+        assert r["i"] == PAIR_INDEX[(r["subtype"], r["arg_type"])]
+
+
 def test_base_vector_shapes_and_clips():
     X = base_vector(
         np.array([-2000.0, 10.0]), np.array([2000.0, 10.0]),
