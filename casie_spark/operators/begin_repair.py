@@ -27,6 +27,11 @@ from pyspark.sql.functions import pandas_udf
 
 # token shifts applied to a span's begin, in model class order
 SHIFTS = (-2, -1, 0, 1)
+# token shifts applied to a span's END (r3 VERDICT next #5 — the
+# symmetric right-edge head): -1 drops the last token, +1/+2 absorb
+# following tokens.  Class order mirrors SHIFTS (outside-2, outside-1,
+# keep, inside-1) so the same trainer fits both edges.
+END_SHIFTS = (2, 1, 0, -1)
 
 BEGIN_ARTIFACT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -38,12 +43,28 @@ _BEGIN_CACHE: dict = {}
 # context columns arguments_with_context() adds (consumed and dropped
 # by repair_begins)
 _CTX_COLS = ("_tok", "_p1", "_p1b", "_p2", "_p2b", "_nx", "_nxb")
+# last-token context columns (consumed and dropped by repair_ends):
+# the span's last token, the two following tokens (text + begin) and
+# the token before the last one (inside the span when n_tokens > 1)
+_END_CTX_COLS = ("_ltok", "_ln1", "_ln1b", "_ln2", "_ln2b",
+                 "_lp1", "_lp1b")
+# assemble_spans carry_last mapping that produces them
+_END_CARRY = {"_ltok": "token", "_ln1": "_nx", "_ln1b": "_nxb",
+              "_ln2": "_n2", "_ln2b": "_n2b",
+              "_lp1": "_p1", "_lp1b": "_p1b"}
+
+
+# artifact key prefix -> weights-dict key; "aend"/"tend" are the
+# right-edge heads (distinct prefixes so "arg_*" parsing stays exact)
+_HEAD_KEYS = {"arg": "arg", "trig": "trig",
+              "aend": "arg_end", "tend": "trig_end"}
 
 
 def load_begin_weights(path: str | None = None):
-    """{"arg": tables, "trig": tables} from the trained begin-repair
-    artifact (operators/train_begin.py trains one shift head per span
-    kind — argument spans keyed by arg_type, trigger spans by
+    """{"arg": tables, "trig": tables[, "arg_end": tables,
+    "trig_end": tables]} from the trained edge-repair artifact
+    (operators/train_begin.py trains one shift head per span kind and
+    edge — argument spans keyed by arg_type, trigger spans by
     subtype), or None when absent.  Cached per (process, path); an
     absent artifact is not pinned."""
     p = path or BEGIN_ARTIFACT
@@ -53,9 +74,9 @@ def load_begin_weights(path: str | None = None):
         return None
     z = np.load(p, allow_pickle=False)
     out = {}
-    for head in ("arg", "trig"):
-        tables = {k[len(head) + 1:]: z[k].astype(np.float32)
-                  for k in z.files if k.startswith(head + "_")}
+    for prefix, head in _HEAD_KEYS.items():
+        tables = {k[len(prefix) + 1:]: z[k].astype(np.float32)
+                  for k in z.files if k.startswith(prefix + "_")}
         if tables:
             out[head] = tables
     _BEGIN_CACHE[p] = out or None
@@ -74,6 +95,7 @@ def with_begin_context(tagged: DataFrame) -> DataFrame:
     same1 = F.lag("sent_id", 1).over(w) == F.col("sent_id")
     same2 = F.lag("sent_id", 2).over(w) == F.col("sent_id")
     samen = F.lead("sent_id", 1).over(w) == F.col("sent_id")
+    samen2 = F.lead("sent_id", 2).over(w) == F.col("sent_id")
     return (
         tagged
         .withColumn("_p1", F.when(same1, F.lag("token", 1).over(w)))
@@ -82,6 +104,8 @@ def with_begin_context(tagged: DataFrame) -> DataFrame:
         .withColumn("_p2b", F.when(same2, F.lag("begin", 2).over(w)))
         .withColumn("_nx", F.when(samen, F.lead("token", 1).over(w)))
         .withColumn("_nxb", F.when(samen, F.lead("begin", 1).over(w)))
+        .withColumn("_n2", F.when(samen2, F.lead("token", 2).over(w)))
+        .withColumn("_n2b", F.when(samen2, F.lead("begin", 2).over(w)))
     )
 
 
@@ -89,26 +113,31 @@ def arguments_with_context(tagged: DataFrame,
                            carry: list[str] | None = None) -> DataFrame:
     """extract_arguments over a context-augmented token stream; the
     span rows carry the first token's text (_tok) and its sentence
-    neighbors (_p1/_p1b/_p2/_p2b/_nx/_nxb).  Note _nx is the token
-    AFTER the span's first token — i.e. the span's own second token
-    when n_tokens > 1, which is exactly the +1-shift target."""
+    neighbors (_p1/_p1b/_p2/_p2b/_nx/_nxb), plus the last token's
+    context (_ltok/_ln1/_ln2/_lp1 + begins) for the end head.  Note
+    _nx is the token AFTER the span's first token — i.e. the span's
+    own second token when n_tokens > 1, which is exactly the +1-shift
+    target; symmetrically _lp1 is the second-to-last token when
+    n_tokens > 1, the end head's -1 target."""
     from .linking import extract_arguments
 
     ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
     return extract_arguments(
-        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]])
+        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
+        carry_last=_END_CARRY)
 
 
 def events_with_context(tagged: DataFrame,
                         carry: list[str] | None = None) -> DataFrame:
     """extract_events variant of arguments_with_context — trigger
     spans carry the same neighbor-context columns for the trigger
-    shift head."""
+    shift heads."""
     from .linking import extract_events
 
     ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
     return extract_events(
-        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]])
+        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
+        carry_last=_END_CARRY)
 
 
 def repair_begins(args: DataFrame, weights,
@@ -179,4 +208,68 @@ def repair_begins(args: DataFrame, weights,
                     F.col("first_token_id") + F.col("_sh"))
         .withColumn("n_tokens", F.col("n_tokens") - F.col("_sh"))
         .drop("_sh", *_CTX_COLS)
+    )
+
+
+def repair_ends(args: DataFrame, weights,
+                label_col: str = "arg_type") -> DataFrame:
+    """Right-edge twin of :func:`repair_begins` (r3 VERDICT next #5):
+    a trained 4-class END_SHIFTS head snaps span ENDs onto the gold
+    right-edge convention.  Consumes the last-token context columns
+    (_ltok/_ln1/_ln2/_lp1 + begins) and adjusts end / text / n_tokens;
+    begin and first_token_id are untouched.  Runs AFTER repair_begins
+    (n_tokens guards see the begin-adjusted count).  The feature
+    contract is the mirrored begin featurizer: t0=last token,
+    p1=adjacent-outside (_ln1), p2=outside-2 (_ln2),
+    nx=adjacent-inside (_lp1) — so train_begin's trainer fits both
+    edges unchanged."""
+    if weights is None:
+        return args.drop(*_END_CTX_COLS)
+    bc = args.sparkSession.sparkContext.broadcast(weights)
+
+    @pandas_udf("int")
+    def _shift(at: pd.Series, tok: pd.Series, n1: pd.Series,
+               n2: pd.Series, p1: pd.Series) -> pd.Series:
+        from .train_begin import _logits, begin_features
+
+        tables = bc.value
+        f = begin_features(at.tolist(), tok.tolist(), n1.tolist(),
+                           n2.tolist(), p1.tolist())
+        cls = _logits(tables, f).argmax(axis=1)
+        return pd.Series(np.asarray(END_SHIFTS, np.int32)[cls])
+
+    df = args.withColumn(
+        "_sh", _shift(label_col, "_ltok", "_ln1", "_ln2", "_lp1"))
+    # guard: keep-as-is when the shift target does not exist
+    df = df.withColumn(
+        "_sh",
+        F.when((F.col("_sh") == 1) & F.col("_ln1b").isNotNull(), 1)
+        .when((F.col("_sh") == 2) & F.col("_ln1b").isNotNull()
+              & F.col("_ln2b").isNotNull(), 2)
+        .when((F.col("_sh") == -1) & F.col("_lp1b").isNotNull()
+              & (F.col("n_tokens") > 1), -1)
+        .otherwise(0))
+
+    n1_end = F.col("_ln1b") + F.length("_ln1")
+    n2_end = F.col("_ln2b") + F.length("_ln2")
+    lp1_end = F.col("_lp1b") + F.length("_lp1")
+    pad1 = F.expr("repeat(' ', _ln1b - end)")
+    pad2 = F.expr("repeat(' ', _ln2b - (_ln1b + length(_ln1)))")
+    new_text = (
+        F.when(F.col("_sh") == 1, F.concat("text", pad1, "_ln1"))
+        .when(F.col("_sh") == 2,
+              F.concat("text", pad1, "_ln1", pad2, "_ln2"))
+        .when(F.col("_sh") == -1,
+              F.expr("substring(text, 1, _lp1b + length(_lp1) - begin)"))
+        .otherwise(F.col("text")))
+    new_end = (
+        F.when(F.col("_sh") == 1, n1_end)
+        .when(F.col("_sh") == 2, n2_end)
+        .when(F.col("_sh") == -1, lp1_end)
+        .otherwise(F.col("end")))
+    return (
+        df.withColumn("text", new_text)
+        .withColumn("end", new_end)
+        .withColumn("n_tokens", F.col("n_tokens") + F.col("_sh"))
+        .drop("_sh", *_END_CTX_COLS)
     )

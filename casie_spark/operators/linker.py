@@ -18,9 +18,11 @@ artifact is present (mirroring the tagger/role/realis pattern —
 reference weights for richer models are absent upstream, the gold
 corpus is not):
 
-- candidate pool: Pair-compatible events in the same OR previous
-  sentence (the union — keeping the either/or select_sent rule costs a
-  measured 291 right events);
+- candidate pool: Pair-compatible events in sentences arg_sent-2 ..
+  arg_sent+1 (r4 — widened from the same-or-previous union; the
+  either/or select_sent rule costs a measured 291 right events, and
+  the widened window lifts gold-link pool coverage 98.98% → 99.95%,
+  the next-sentence bucket alone holding 196 of 22,481 gold links);
 - per-candidate features, all computed JVM-side in ONE pass over the
   candidate frame (argument-pair scale, ~2 rows per argument): sentence
   gap, signed/absolute character distance, nearest-by-distance and
@@ -37,8 +39,11 @@ corpus is not):
 - argmax per argument via one row_number window.
 
 Measured effect (corpus, mode=model): multi-candidate pick accuracy
-0.825 → 0.958 (5-fold doc CV 0.89), right-event attachment of found
-arguments 0.770 → 0.835 = the pool ceiling.
+0.825 (rule cascade) → 0.957 over the r4 widened pools (17,286
+multi-candidate pools; all-pool 0.962); right-event attachment of
+found arguments 0.770 (cascade) → 0.835 (r3 same/prev pool) → 0.908
+(r4: widened pool + sentgap features + the sev/end-repair upstream
+finding more exact-begin args).
 
 Scale: the candidate frame is argument-pair scale (tokens ≫ args);
 the only Python is one scalar pandas_udf over that frame (the hashed
@@ -60,7 +65,7 @@ from pyspark.sql import functions as F
 from .. import config
 
 LEXDIM = 1 << 12
-N_BASE = 11
+N_BASE = 13
 SUBTYPES = tuple(sorted(config.PAIR))
 ARG_TYPES = tuple(sorted(set().union(*config.PAIR.values())))
 PAIR_INDEX = {(s, a): i for i, (s, a) in enumerate(
@@ -132,7 +137,7 @@ def pair_index_col(subtype, arg_type):
 
 
 def base_vector(d, absd, same_sent, nearest, first_ev, n_cand,
-                commas, trigs) -> np.ndarray:
+                commas, trigs, sentgap) -> np.ndarray:
     """The N_BASE numeric features, one row per candidate (vectorized
     over numpy arrays).  Shared by trainer and scorer."""
     X = np.zeros((len(d), N_BASE))
@@ -147,6 +152,8 @@ def base_vector(d, absd, same_sent, nearest, first_ev, n_cand,
     X[:, 8] = np.clip(commas, 0, 4)
     X[:, 9] = np.clip(trigs, 0, 4)
     X[:, 10] = trigs == 0       # no other trigger in between
+    X[:, 11] = sentgap          # ev_sent - arg_sent, in [-2, 1]
+    X[:, 12] = sentgap > 0      # trigger in a LATER sentence
     return X
 
 
@@ -166,6 +173,7 @@ def score_rows(pdf, w_base: np.ndarray, w_pair: np.ndarray,
         pdf["n_cand"].to_numpy(np.float64),
         pdf["commas"].to_numpy(np.float64),
         pdf["trigs"].to_numpy(np.float64),
+        pdf["sentgap"].to_numpy(np.float64),
     )
     pair = pdf["pair_idx"].to_numpy(np.int64)
     l1 = pdf["l1"].to_numpy(np.int64)
@@ -193,11 +201,16 @@ def candidate_frame(events: DataFrame, args: DataFrame,
         F.col("begin").alias("arg_begin"), F.col("end").alias("arg_end"),
         *(["role"] if "role" in args.columns else []),
     )
+    # widened pool (r3 VERDICT next #6): sentences arg_sent-2..+1 —
+    # measured on the gold links, same/prev covers 98.98% of right
+    # events while -2..+1 covers 99.95% (the biggest missing bucket is
+    # the NEXT sentence: 196 of 22,481 gold links); the ranker's
+    # sentgap features absorb the added distractors
+    gap = F.col("ev_sent") - F.col("arg_sent")
     cand = ar.join(
         ev,
         (F.col("doc_id") == F.col("_e_doc"))
-        & ((F.col("ev_sent") == F.col("arg_sent"))
-           | (F.col("ev_sent") == F.col("arg_sent") - 1)),
+        & (gap >= -2) & (gap <= 1),
         "inner",
     ).drop("_e_doc")
     from .linking import _compat
@@ -240,6 +253,8 @@ def candidate_frame(events: DataFrame, args: DataFrame,
                     .cast("double"))
         .withColumn("absd", F.abs(F.col("d")))
         .withColumn("same_sent", same.cast("double"))
+        .withColumn("sentgap",
+                    (F.col("ev_sent") - F.col("arg_sent")).cast("double"))
         .withColumn("commas",
                     F.when(same, _between(F.col("_commas")))
                     .otherwise(0).cast("double"))
@@ -275,6 +290,10 @@ def load_linker_weights(path: str | None = None):
     if not os.path.exists(p):
         return None
     z = np.load(p, allow_pickle=False)
+    if z["w_base"].shape[0] != N_BASE:
+        # stale artifact from an older feature set — fall back to the
+        # rule cascade rather than crash mid-pipeline
+        return None
     out = (z["w_base"].astype(np.float64), z["w_pair"].astype(np.float64),
            z["lex_trig"].astype(np.float64), z["lex_arg"].astype(np.float64))
     _LINKER_CACHE[p] = out
@@ -305,7 +324,7 @@ def link_trained(events: DataFrame, arguments: DataFrame,
     @pandas_udf("double")
     def _score(pair_idx, l1, l2,
                d, absd, same_sent, nearest, first_ev, n_cand,
-               commas, trigs):
+               commas, trigs, sentgap):
         import pandas as pd
 
         w_base, w_pair, lex_trig, lex_arg = bc.value
@@ -313,14 +332,14 @@ def link_trained(events: DataFrame, arguments: DataFrame,
             "pair_idx": pair_idx, "l1": l1, "l2": l2,
             "d": d, "absd": absd, "same_sent": same_sent,
             "nearest": nearest, "first_ev": first_ev, "n_cand": n_cand,
-            "commas": commas, "trigs": trigs,
+            "commas": commas, "trigs": trigs, "sentgap": sentgap,
         })
         return pd.Series(score_rows(pdf, w_base, w_pair, lex_trig, lex_arg))
 
     scored = cand.withColumn("link_score", _score(
         "pair_idx", "l1", "l2",
         "d", "absd", "same_sent", "nearest", "first_ev", "n_cand",
-        "commas", "trigs"))
+        "commas", "trigs", "sentgap"))
     wpick = Window.partitionBy("doc_id", "arg_id").orderBy(
         F.desc("link_score"), "event_id")
     keep = ["doc_id", "event_id", "subtype", "event_text", "event_begin",

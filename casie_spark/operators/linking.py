@@ -43,11 +43,13 @@ def _compat(ev_label, arg_label):
     return c
 
 
-def extract_events(tagged: DataFrame, carry: list[str] | None = None) -> DataFrame:
+def extract_events(tagged: DataFrame, carry: list[str] | None = None,
+                   carry_last: dict[str, str] | None = None) -> DataFrame:
     """Trigger spans -> events(doc_id, event_id, sent_id, subtype, text,
     begin, end, first_token_id [, carried cols])."""
     carry = [c for c in (carry or []) if c in tagged.columns]
-    spans = assemble_spans(tagged, "trigger_tag", carry_first=carry)
+    spans = assemble_spans(tagged, "trigger_tag", carry_first=carry,
+                           carry_last=carry_last)
     w = Window.partitionBy("doc_id").orderBy("sent_id", "first_token_id")
     return (
         spans.withColumn("event_id", F.row_number().over(w) - 1)
@@ -56,9 +58,11 @@ def extract_events(tagged: DataFrame, carry: list[str] | None = None) -> DataFra
     )
 
 
-def extract_arguments(tagged: DataFrame, carry: list[str] | None = None) -> DataFrame:
+def extract_arguments(tagged: DataFrame, carry: list[str] | None = None,
+                      carry_last: dict[str, str] | None = None) -> DataFrame:
     carry = [c for c in (carry or []) if c in tagged.columns]
-    spans = assemble_spans(tagged, "arg_tag", carry_first=carry)
+    spans = assemble_spans(tagged, "arg_tag", carry_first=carry,
+                           carry_last=carry_last)
     w = Window.partitionBy("doc_id").orderBy("sent_id", "first_token_id")
     return (
         spans.withColumn("arg_id", F.row_number().over(w) - 1)

@@ -77,9 +77,14 @@ ARTIFACT_PATH = os.path.join(
 )
 
 _CTX_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
-             "pf3", "sf3", "sf4", "b")
+             "pf3", "sf3", "sf4", "c0f", "c0c", "cm1c", "cp1c",
+             "sev", "b")
+# "sev" (sentence-has-decoded-trigger, a (2, L) table on the arg head)
+# is NOT a gather key: its ids come from the trigger head's decoded
+# path, so TaggerWeights.decode applies it explicitly between the two
+# head decodes rather than from feature_arrays
 _GATHER_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
-                "pf3", "sf3", "sf4")
+                "pf3", "sf3", "sf4", "c0f", "c0c", "cm1c", "cp1c")
 
 
 def token_id(tok: str) -> int:
@@ -140,7 +145,7 @@ def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray
     def ids(seq, fn):
         return np.fromiter((fn(t) for t in seq), dtype=np.int64, count=n)
 
-    return {
+    out = {
         "t0": ids(low, token_id),
         "s0": ids(low, lambda t: token_id(_py_stem(t))),
         "tm1": ids(plo, lambda t: PAD_ID if not t else token_id(t)),
@@ -156,15 +161,27 @@ def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray
             (_ngram_id(p + "|" + c + "|" + x, TRIGRAM_SIZE)
              for p, c, x in zip(plo, low, nlo)),
             dtype=np.int64, count=n),
-        # hashed affixes: the generalization features — a token never
+        # hashed affixes: generalization features — a token never
         # seen in training still shares its suffix/prefix rows with
-        # seen vocabulary ("-ility", "-ware", "-tion", "un-"), the only
-        # lexical signal that transfers to the held-out fold in a
-        # container with no pretrained embeddings
+        # seen vocabulary ("-ility", "-ware", "-tion", "un-")
         "pf3": ids(low, lambda t: PAD_ID if not t else token_id("\x02" + t[:3])),
         "sf3": ids(low, lambda t: PAD_ID if not t else token_id("\x03" + t[-3:])),
         "sf4": ids(low, lambda t: PAD_ID if not t else token_id("\x04" + t[-4:])),
     }
+    # induced word-class ids (PPMI-SVD clusters, operators/word_classes
+    # — the Domain-Word2vec substitute): the strongest transfer signal;
+    # an unseen token shares its class row with distributionally
+    # similar seen vocabulary.  Keys are added only when the artifact
+    # exists; heads trained without them simply skip the gathers.
+    from .word_classes import load_word_classes
+
+    wc = load_word_classes()
+    if wc is not None:
+        out["c0f"] = wc.class_ids(low, coarse=False)
+        out["c0c"] = wc.class_ids(low, coarse=True)
+        out["cm1c"] = wc.class_ids(plo, coarse=True)
+        out["cp1c"] = wc.class_ids(nlo, coarse=True)
+    return out
 
 
 @dataclass
@@ -204,19 +221,47 @@ class TaggerWeights:
         """Sentence-structured decode: Viterbi per sentence when the
         head has trained transitions, per-token argmax otherwise.
         ``sent_starts``: sorted indices where a new sentence begins
-        (must include 0)."""
+        (must include 0).
+
+        Two-pass when the arg head carries a "sev" table (r4): the
+        trigger head decodes first, each sentence's has-trigger flag
+        gathers a (2, L) bias into the arg logits, then the arg head
+        decodes.  Flags are sentence-local, so this stays inside the
+        batch — no extra pass over the data.  The table is trained on
+        PREDICTED flags from fold-wise cross-decoding
+        (train_tagger._cross_fit_flags), matching this cascade."""
         f = feature_arrays(toks, prevs, nexts)
         trig_logits, arg_logits = self._logits(f)
-        out = []
-        for logits, tr in ((trig_logits, self.trig_trans),
-                           (arg_logits, self.arg_trans)):
+
+        def _path(logits, tr):
             if tr is None:
-                out.append(logits.argmax(axis=1))
-            else:
-                out.append(viterbi_segments(
-                    logits.astype(np.float32), sent_starts,
-                    tr["trans"], tr["start"]))
-        return out[0], out[1]
+                return logits.argmax(axis=1)
+            return viterbi_segments(logits.astype(np.float32),
+                                    sent_starts, tr["trans"], tr["start"])
+
+        trig_path = _path(trig_logits, self.trig_trans)
+        if self.arg_ctx is not None and "sev" in self.arg_ctx:
+            flags = sentence_flag_ids(trig_path, sent_starts,
+                                      len(trig_path))
+            arg_logits = arg_logits + self.arg_ctx["sev"][flags]
+        return trig_path, _path(arg_logits, self.arg_trans)
+
+
+def sentence_flag_ids(path: np.ndarray, starts: np.ndarray,
+                      n: int) -> np.ndarray:
+    """Per-token sev ids from a decoded label path: 1 when the token's
+    sentence contains any non-O label (index 0 is O for both heads),
+    else 0.  ``starts`` are the sorted sentence-begin indices
+    (including 0)."""
+    if n == 0:
+        return np.zeros(0, np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    seg = np.zeros(n, np.int64)
+    seg[starts] = 1
+    seg = np.cumsum(seg) - 1
+    has = np.zeros(len(starts), bool)
+    np.logical_or.at(has, seg, path != 0)
+    return has[seg].astype(np.int64)
 
 
 def viterbi_segments(logits: np.ndarray, starts: np.ndarray,

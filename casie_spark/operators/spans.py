@@ -33,6 +33,7 @@ def assemble_spans(
     doc_col: str = "doc_id",
     sent_scope: bool = True,
     carry_first: list[str] | None = None,
+    carry_last: dict[str, str] | None = None,
 ) -> DataFrame:
     """tokens(+tag_col BIO column) -> spans.
 
@@ -50,6 +51,10 @@ def assemble_spans(
     first token rides along (the reference reads realis/role off the
     nugget_pos token, link_coref.py:1241-1244) — emitted under the
     same name via ``min_by(col, token_id)``.
+
+    ``carry_last``: {output_name: source_column} carried from the
+    span's LAST token via ``max_by(col, token_id)`` (the right-edge
+    repair head reads its context off that token).
     """
     tag = F.col(tag_col)
     label = F.when(tag == "O", F.lit("")).otherwise(F.substring(tag, 3, 1000000))
@@ -99,6 +104,8 @@ def assemble_spans(
                 F.collect_list(F.struct("token_id", "token"))
             ).alias("_toks"),
             *[F.min_by(c, "token_id").alias(c) for c in (carry_first or [])],
+            *[F.max_by(src, "token_id").alias(out)
+              for out, src in (carry_last or {}).items()],
         )
         .withColumn("text", F.concat_ws(" ", F.col("_toks.token")))
         .withColumnRenamed("_span_id", "span_id")

@@ -126,14 +126,22 @@ def train_begin_head(f: dict[str, np.ndarray], y: np.ndarray,
 
 
 def build_training_frame(spark, doc_ids=None, tagger_weights=None,
-                         head: str = "arg"):
-    """Aligned (predicted span, gold begin-shift class) pairs from the
+                         head: str = "arg", edge: str = "begin",
+                         begin_weights=None):
+    """Aligned (predicted span, gold edge-shift class) pairs from the
     model-tagged corpus — one frame per span kind (``head``: "arg"
     aligns argument spans to gold arguments by arg_type, "trig"
-    aligns trigger spans to gold nuggets by subtype).  ``doc_ids``
+    aligns trigger spans to gold nuggets by subtype) and span edge
+    (``edge``: "begin" labels SHIFTS classes against the gold begin,
+    "end" labels END_SHIFTS classes against the gold end — the end
+    frames are built AFTER applying ``begin_weights`` so the end head
+    trains on the spans it will see at inference).  ``doc_ids``
     restricts to a document subset and ``tagger_weights`` overrides
     the committed tagger artifact — the held-out protocol passes
-    both.  Output columns: label, _tok, _p1, _p2, _nx, cls."""
+    both.  Output columns: label, _tok, _p1, _p2, _nx, cls — for
+    edge="end" the context mapping is mirrored exactly like
+    repair_ends (t0=last token, p1=outside+1, p2=outside+2,
+    nx=inside-1)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -145,9 +153,11 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None,
     )
     from ..util import materialize, truncate
     from .begin_repair import (
+        END_SHIFTS,
         SHIFTS,
         arguments_with_context,
         events_with_context,
+        repair_begins,
     )
 
     ann = load_annotations(spark)
@@ -159,20 +169,26 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None,
         tagged_tokens(docs, id_col="doc_id", mode="model", hash_ids=False,
                       tagger_weights=tagger_weights))
     if head == "arg":
-        spans = truncate(arguments_with_context(tagged))
+        spans = arguments_with_context(tagged)
         label, sid = "arg_type", "arg_id"
         gold = gold_arguments(ann).select(
             F.col("doc_id").alias("g_doc"), F.col("begin").alias("g_begin"),
             F.col("end").alias("g_end"),
             F.col("arg_type").alias("g_label")).distinct()
     else:
-        spans = truncate(events_with_context(tagged))
+        spans = events_with_context(tagged)
         label, sid = "subtype", "event_id"
         gold = gold_events(ann).select(
             F.col("doc_id").alias("g_doc"),
             F.col("nugget_begin").alias("g_begin"),
             F.col("nugget_end").alias("g_end"),
             F.col("subtype").alias("g_label")).distinct()
+    if edge == "end" and begin_weights:
+        # end training pairs come from begin-repaired spans (the
+        # inference-time input); keep the end-context columns intact
+        spans = repair_begins(spans, begin_weights.get(
+            "trig" if head == "trig" else "arg"), label_col=label)
+    spans = truncate(spans)
     j = spans.join(
         gold, (spans.doc_id == gold.g_doc) & (spans.begin < gold.g_end)
         & (spans.end > gold.g_begin) & (spans[label] == gold.g_label),
@@ -180,20 +196,30 @@ def build_training_frame(spark, doc_ids=None, tagger_weights=None,
     ).withColumn("ov", F.least(spans.end, gold.g_end)
                  - F.greatest(spans.begin, gold.g_begin))
     w = Window.partitionBy("doc_id", sid).orderBy(F.desc("ov"), "g_begin")
+    if edge == "begin":
+        cls = (F.when(F.col("g_begin") == F.col("begin"), SHIFTS.index(0))
+               .when(F.col("g_begin") == F.col("_p1b"), SHIFTS.index(-1))
+               .when(F.col("g_begin") == F.col("_p2b"), SHIFTS.index(-2))
+               .when(F.col("g_begin") == F.col("_nxb"), SHIFTS.index(1)))
+        ctx = [F.col("_tok"), F.col("_p1"), F.col("_p2"), F.col("_nx")]
+    else:
+        n1_end = F.col("_ln1b") + F.length("_ln1")
+        n2_end = F.col("_ln2b") + F.length("_ln2")
+        lp1_end = F.col("_lp1b") + F.length("_lp1")
+        cls = (F.when(F.col("g_end") == F.col("end"), END_SHIFTS.index(0))
+               .when(F.col("g_end") == n1_end, END_SHIFTS.index(1))
+               .when(F.col("g_end") == n2_end, END_SHIFTS.index(2))
+               .when((F.col("g_end") == lp1_end) & (F.col("n_tokens") > 1),
+                     END_SHIFTS.index(-1)))
+        # mirrored context mapping (see repair_ends)
+        ctx = [F.col("_ltok").alias("_tok"), F.col("_ln1").alias("_p1"),
+               F.col("_ln2").alias("_p2"), F.col("_lp1").alias("_nx")]
     pairs = (
         j.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
-        .withColumn("cls", F.when(F.col("g_begin") == F.col("begin"),
-                                  SHIFTS.index(0))
-                    .when(F.col("g_begin") == F.col("_p1b"),
-                          SHIFTS.index(-1))
-                    .when(F.col("g_begin") == F.col("_p2b"),
-                          SHIFTS.index(-2))
-                    .when(F.col("g_begin") == F.col("_nxb"),
-                          SHIFTS.index(1)))
+        .withColumn("cls", cls)
         .filter(F.col("cls").isNotNull())
         .select("doc_id", F.col(sid).alias("span_id"),
-                F.col(label).alias("label"), "_tok", "_p1", "_p2",
-                "_nx", "cls")
+                F.col(label).alias("label"), *ctx, "cls")
         .orderBy("doc_id", "span_id")
     )
     pdf = pairs.toPandas()
@@ -213,26 +239,43 @@ def train(pdf) -> dict[str, np.ndarray]:
     return {k: v.astype(np.float16) for k, v in tables.items()}
 
 
+# artifact key prefix -> (head, edge); mirrors begin_repair._HEAD_KEYS
+_TRAIN_HEADS = (("arg", "arg", "begin"), ("trig", "trig", "begin"),
+                ("aend", "arg", "end"), ("tend", "trig", "end"))
+
+
 def train_arrays(spark, doc_ids=None, tagger_weights=None
                  ) -> dict[str, np.ndarray]:
-    """Both heads -> one artifact array dict (arg_* / trig_* keys)."""
+    """All four edge heads -> one artifact array dict (arg_* / trig_*
+    begin heads, aend_* / tend_* end heads).  The end heads train on
+    begin-repaired spans from the begin heads fit in the same call —
+    matching the inference cascade."""
+    from .begin_repair import _HEAD_KEYS  # noqa: F401 (contract doc)
+
     out: dict[str, np.ndarray] = {}
-    for head in ("arg", "trig"):
+    begin_w = None
+    for prefix, head, edge in _TRAIN_HEADS:
+        if edge == "end" and begin_w is None:
+            begin_w = arrays_to_weights(out)
         pdf = build_training_frame(spark, doc_ids=doc_ids,
                                    tagger_weights=tagger_weights,
-                                   head=head)
+                                   head=head, edge=edge,
+                                   begin_weights=begin_w)
         for k, v in train(pdf).items():
-            out[f"{head}_{k}"] = v
+            out[f"{prefix}_{k}"] = v
     return out
 
 
 def arrays_to_weights(arrays):
-    """train_arrays() dict -> the {"arg": tables, "trig": tables}
-    structure load_begin_weights returns."""
+    """train_arrays() dict -> the {"arg": tables, "trig": tables,
+    "arg_end": tables, "trig_end": tables} structure
+    load_begin_weights returns."""
+    from .begin_repair import _HEAD_KEYS
+
     out = {}
-    for head in ("arg", "trig"):
-        tables = {k[len(head) + 1:]: arrays[k].astype(np.float32)
-                  for k in arrays if k.startswith(head + "_")}
+    for prefix, head in _HEAD_KEYS.items():
+        tables = {k[len(prefix) + 1:]: arrays[k].astype(np.float32)
+                  for k in arrays if k.startswith(prefix + "_")}
         if tables:
             out[head] = tables
     return out or None
@@ -249,26 +292,31 @@ def save_artifact(arrays, path: str | None = None) -> str:
 
 def main() -> None:  # pragma: no cover - CLI entry
     from ..session import get_spark
-    from .begin_repair import SHIFTS
+    from .begin_repair import END_SHIFTS, SHIFTS
 
     spark = get_spark("train-begin", master="local[16]",
                       shuffle_partitions=16)
     arrays: dict[str, np.ndarray] = {}
-    for head in ("arg", "trig"):
-        pdf = build_training_frame(spark, head=head)
-        print(f"{head}: aligned pairs: {len(pdf)}")
+    begin_w = None
+    for prefix, head, edge in _TRAIN_HEADS:
+        if edge == "end" and begin_w is None:
+            begin_w = arrays_to_weights(arrays)
+        pdf = build_training_frame(spark, head=head, edge=edge,
+                                   begin_weights=begin_w)
+        print(f"{prefix} ({head} {edge}): aligned pairs: {len(pdf)}")
         tables16 = train(pdf)
         for k, v in tables16.items():
-            arrays[f"{head}_{k}"] = v
+            arrays[f"{prefix}_{k}"] = v
         tables = {k: v.astype(np.float32) for k, v in tables16.items()}
         f = begin_features(pdf["label"].tolist(), pdf["_tok"].tolist(),
                            pdf["_p1"].tolist(), pdf["_p2"].tolist(),
                            pdf["_nx"].tolist())
         y = pdf["cls"].to_numpy(np.int64)
         pred = _logits(tables, f).argmax(axis=1)
-        base = float((y == SHIFTS.index(0)).mean())
+        keep = SHIFTS.index(0) if edge == "begin" else END_SHIFTS.index(0)
+        base = float((y == keep).mean())
         acc = float((pred == y).mean())
-        print(f"{head}: begin accuracy {acc:.4f} "
+        print(f"{prefix}: {edge} accuracy {acc:.4f} "
               f"(keep-as-is baseline {base:.4f})")
     path = save_artifact(arrays)
     print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)")

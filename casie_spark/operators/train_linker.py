@@ -84,13 +84,18 @@ def build_training_pools(spark, doc_ids=None, tagger_weights=None,
             arguments_with_context,
             events_with_context,
             repair_begins,
+            repair_ends,
         )
 
-        events = truncate(repair_begins(
-            events_with_context(tagged), begin_weights.get("trig"),
-            label_col="subtype"))
-        args = truncate(repair_begins(
-            arguments_with_context(tagged), begin_weights.get("arg")))
+        events = truncate(repair_ends(
+            repair_begins(
+                events_with_context(tagged), begin_weights.get("trig"),
+                label_col="subtype"),
+            begin_weights.get("trig_end"), label_col="subtype"))
+        args = truncate(repair_ends(
+            repair_begins(
+                arguments_with_context(tagged), begin_weights.get("arg")),
+            begin_weights.get("arg_end")))
     else:
         events = truncate(extract_events(tagged))
         args = truncate(extract_arguments(tagged))
@@ -118,7 +123,7 @@ def build_training_pools(spark, doc_ids=None, tagger_weights=None,
     pdf = out.select(
         "doc_id", "arg_id", "event_id", "pair_idx", "l1", "l2",
         "d", "absd", "same_sent", "nearest",
-        "first_ev", "n_cand", "commas", "trigs", "is_gold",
+        "first_ev", "n_cand", "commas", "trigs", "sentgap", "is_gold",
     ).toPandas()
     return pdf.sort_values(
         ["doc_id", "arg_id", "event_id"]).reset_index(drop=True)
@@ -138,6 +143,7 @@ def _pool_arrays(pdf):
             g["n_cand"].to_numpy(np.float64),
             g["commas"].to_numpy(np.float64),
             g["trigs"].to_numpy(np.float64),
+            g["sentgap"].to_numpy(np.float64),
         )
         # the pair/lexicon indices are computed JVM-side by
         # candidate_frame (pair_index_col / lex_bucket_col) — the SAME

@@ -105,7 +105,8 @@ def build_training_frame(spark):
 
 
 def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
-                seed: int, drop_keys: tuple = ()) -> dict[str, np.ndarray]:
+                seed: int, drop_keys: tuple = (),
+                word_dropout: float = 0.0) -> dict[str, np.ndarray]:
     """Mini-batch AVERAGED PERCEPTRON over the summed-gather linear
     model: on each mistake, +w at the gold label row and -w at the
     predicted one, per feature table (w = inverse-class-frequency^0.15,
@@ -115,7 +116,15 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
     Mistake-driven updates reach high accuracy on the near-separable
     memorization objective where plain SGD under-trains; per-epoch
     weight averaging gives the usual stability.  Deterministic: fixed
-    seed, fixed epoch/batch schedule."""
+    seed, fixed epoch/batch schedule.
+
+    ``word_dropout``: probability per (example, epoch) of treating the
+    CURRENT token as unseen — its identity features (t0/s0/b1/b2/tri)
+    contribute nothing and receive no update for that example, so the
+    score must come from shape/affix/word-class rows.  This simulates
+    the held-out regime at train time (word dropout, Iyyer et al.
+    2015); without it the memorization features fix every training
+    mistake first and the generalizing rows are starved."""
     rng = np.random.default_rng(seed)
     shapes = {
         "t0": (VOCAB_SIZE, n_labels), "s0": (VOCAB_SIZE, n_labels),
@@ -126,6 +135,20 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
         "pf3": (VOCAB_SIZE, n_labels), "sf3": (VOCAB_SIZE, n_labels),
         "sf4": (VOCAB_SIZE, n_labels), "b": (n_labels,),
     }
+    # induced word-class tables (sized by the committed unsupervised
+    # artifact; keys exist in `f` only when it is present)
+    from .word_classes import ID_OFFSET, load_word_classes
+
+    wc = load_word_classes()
+    if wc is not None and "c0f" in f:
+        shapes["c0f"] = (wc.n_fine + ID_OFFSET, n_labels)
+        shapes["c0c"] = (wc.n_coarse + ID_OFFSET, n_labels)
+        shapes["cm1c"] = (wc.n_coarse + ID_OFFSET, n_labels)
+        shapes["cp1c"] = (wc.n_coarse + ID_OFFSET, n_labels)
+    # sentence-has-trigger flag (cross-fitted PREDICTED flags — the
+    # caller injects f["sev"]; only the arg head trains with it)
+    if "sev" in f:
+        shapes["sev"] = (2, n_labels)
     for k in drop_keys:
         shapes.pop(k, None)
     tables = {k: np.zeros(s, np.float32) for k, s in shapes.items()}
@@ -136,23 +159,39 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
     cw = (cw / cw[0]).astype(np.float32)  # O has weight 1
 
     gather = tuple(k for k in shapes if k != "b")
+    # token-identity features silenced when the example's current
+    # token is dropped (they all contain the current token's surface)
+    lex = tuple(k for k in gather if k in ("t0", "s0", "b1", "b2", "tri"))
     navg = 0
     for ep in range(EPOCHS):
         order = rng.permutation(n)
+        dropped = (rng.random(n) < word_dropout) if word_dropout > 0 \
+            else np.zeros(n, dtype=bool)
         for s in range(0, n, BATCH):
             idx = order[s:s + BATCH]
+            keep = ~dropped[idx]
             logits = tables["b"][None, :].repeat(len(idx), axis=0)
             for k in gather:
-                logits += tables[k][f[k][idx]]
+                if k in lex and word_dropout > 0:
+                    logits += tables[k][f[k][idx]] * keep[:, None]
+                else:
+                    logits += tables[k][f[k][idx]]
             pred = logits.argmax(axis=1)
             mist = pred != y[idx]
             if mist.any():
                 mi = idx[mist]
                 pm = pred[mist]
                 wts = cw[y[mi]]
+                mkeep = keep[mist]
                 for k in gather:
-                    np.add.at(tables[k], (f[k][mi], y[mi]), wts)
-                    np.add.at(tables[k], (f[k][mi], pm), -wts)
+                    if k in lex and word_dropout > 0:
+                        mk, yk, pk, wk = (mi[mkeep], y[mi][mkeep],
+                                          pm[mkeep], wts[mkeep])
+                        np.add.at(tables[k], (f[k][mk], yk), wk)
+                        np.add.at(tables[k], (f[k][mk], pk), -wk)
+                    else:
+                        np.add.at(tables[k], (f[k][mi], y[mi]), wts)
+                        np.add.at(tables[k], (f[k][mi], pm), -wts)
                 np.add.at(tables["b"], y[mi], wts)
                 np.add.at(tables["b"], pm, -wts)
         if ep >= AVG_FROM:
@@ -204,8 +243,62 @@ def sentence_starts(pdf) -> np.ndarray:
     return np.flatnonzero(new)
 
 
-def train(pdf) -> dict[str, np.ndarray]:
-    """pandas frame from build_training_frame -> artifact arrays."""
+def _cross_fit_flags(pdf, f, yt, n_folds: int = 5,
+                     lam: float = 2.0) -> np.ndarray:
+    """Predicted sentence-has-trigger flags via fold-wise
+    cross-decoding (the r3 'sev' retry — training on GOLD flags
+    measured triple F1 0.729 -> 0.711 because inference flags come
+    from the decoded trigger pass; these flags come from a trigger
+    head that never saw the row's document, so the arg head trains on
+    the cascade it will actually see).  Doc-level md5 subfolds; each
+    fold is decoded by a head + fixed-λ transitions fit on the other
+    folds.  Deterministic.  Returns int64 0/1 per row."""
+    from .model_tagger import (
+        _ctx_logits,
+        sentence_flag_ids,
+        viterbi_segments,
+    )
+
+    folds = pdf["doc_id"].map(lambda d: doc_fold(d, n_folds)).to_numpy()
+    n = len(pdf)
+    is_start = np.zeros(n, bool)
+    is_start[sentence_starts(pdf)] = True
+    flags = np.zeros(n, np.int64)
+    for k in range(n_folds):
+        te = folds == k
+        if not te.any():
+            continue
+        tr = ~te
+        ftr = {kk: v[tr] for kk, v in f.items()}
+        # same recipe as the deployment trigger head, fit on the
+        # other folds only
+        head = _train_head(ftr, yt[tr], len(TRIGGER_LABELS),
+                           SEED + 100 + k,
+                           drop_keys=("c0f", "c0c", "cm1c", "cp1c"))
+        tables = {kk: v.astype(np.float32) for kk, v in head.items()}
+        # folds split whole docs, so both subsets keep sentence
+        # contiguity; a row is a sentence start in the subset iff it
+        # was one in the full frame
+        starts_tr = np.flatnonzero(is_start[tr])
+        starts_te = np.flatnonzero(is_start[te])
+        sc = _scaled(fit_transitions(yt[tr], starts_tr,
+                                     len(TRIGGER_LABELS)), lam)
+        fte = {kk: v[te] for kk, v in f.items()}
+        path = viterbi_segments(_ctx_logits(tables, fte), starts_te,
+                                sc["trans"], sc["start"])
+        flags[te] = sentence_flag_ids(path, starts_te, len(path))
+    return flags
+
+
+def train(pdf, sev: bool = True) -> dict[str, np.ndarray]:
+    """pandas frame from build_training_frame -> artifact arrays.
+    ``sev``: train the arg head with the cross-fitted
+    sentence-has-predicted-trigger table (see _cross_fit_flags) —
+    measured r4: full-corpus arg Dice 0.809 -> 0.848 (recall 0.825 ->
+    0.890 with precision also up), held-out arg F1 +0.013, held-out
+    nugget +0.009; the r3 gold-flag variant of the same idea was
+    rejected (0.729 -> 0.711 triples) because gold flags mismatch the
+    decoded cascade."""
     toks = pdf["token"].astype(str).tolist()
     prevs = pdf["prev"].tolist()
     nexts = pdf["next"].tolist()
@@ -216,14 +309,32 @@ def train(pdf) -> dict[str, np.ndarray]:
     yt = pdf["trig_label"].map(lambda v: trig_idx.get(v, 0)).to_numpy(np.int64)
     ya = pdf["arg_label"].map(lambda v: arg_idx.get(v, 0)).to_numpy(np.int64)
 
-    # affix tables go to the TRIGGER head only: type-level trigger
-    # classification transfers through suffixes ("-ware", "-tion"),
-    # while the argument head is span-identity — adding affixes to it
-    # measured Dice F1 0.81 -> 0.66 at the selected λ (diluted
-    # averaged-perceptron capacity), so it keeps the original key set
-    trig = _train_head(f, yt, len(TRIGGER_LABELS), SEED)
-    arg = _train_head(f, ya, len(GOLD_ARG_LABELS), SEED + 1,
-                      drop_keys=("pf3", "sf3", "sf4"))
+    # Per-head feature sets, selected by measurement (r4 sweeps,
+    # BASELINE.md "Word classes + word dropout — measured, rejected"):
+    # - affix tables go to the TRIGGER head only: type-level trigger
+    #   classification transfers through suffixes ("-ware", "-tion"),
+    #   while the argument head is span-identity — adding affixes to
+    #   it measured Dice F1 0.81 -> 0.66 (diluted averaged-perceptron
+    #   capacity);
+    # - induced word-class tables (operators/word_classes) on EITHER
+    #   head: +0.004 held-out nugget F1 but ~1 pt full-corpus nugget
+    #   Dice and 3 pts recall at matched λ (0.807 -> 0.794/0.796) —
+    #   same dilution mechanism, rejected for deployment;
+    # - word dropout (0.1/0.2/0.3 per head): +0.007 held-out nugget
+    #   at trig p=0.2 but compounding full-corpus recall cost; on the
+    #   argument head it collapsed recall outright (0.328 -> 0.256) —
+    #   rejected;
+    # - the sev table (cross-fitted predicted sentence flags) is the
+    #   r4 keeper — see the docstring numbers.
+    trig = _train_head(f, yt, len(TRIGGER_LABELS), SEED,
+                       drop_keys=("c0f", "c0c", "cm1c", "cp1c"))
+    fa = f
+    if sev:
+        fa = dict(f)
+        fa["sev"] = _cross_fit_flags(pdf, f, yt)
+    arg = _train_head(fa, ya, len(GOLD_ARG_LABELS), SEED + 1,
+                      drop_keys=("pf3", "sf3", "sf4",
+                                 "c0f", "c0c", "cm1c", "cp1c"))
 
     out: dict[str, np.ndarray] = {}
     for k, v in trig.items():

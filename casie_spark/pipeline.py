@@ -160,11 +160,14 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
         from .operators.begin_repair import (
             events_with_context,
             repair_begins,
+            repair_ends,
         )
 
-        events = truncate(repair_begins(
-            events_with_context(tagged, carry=["realis"]),
-            begin_weights["trig"], label_col="subtype"))
+        events = truncate(repair_ends(
+            repair_begins(
+                events_with_context(tagged, carry=["realis"]),
+                begin_weights["trig"], label_col="subtype"),
+            begin_weights.get("trig_end"), label_col="subtype"))
     else:
         events = truncate(extract_events(tagged, carry=["realis"]))
     if "realis" not in events.columns:
@@ -180,11 +183,14 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
         from .operators.begin_repair import (
             arguments_with_context,
             repair_begins,
+            repair_ends,
         )
 
-        args = repair_begins(
-            arguments_with_context(tagged, carry=["role"]),
-            begin_weights["arg"])
+        args = repair_ends(
+            repair_begins(
+                arguments_with_context(tagged, carry=["role"]),
+                begin_weights["arg"]),
+            begin_weights.get("arg_end"))
     else:
         args = extract_arguments(tagged, carry=["role"])
     linked = (link_provider or link)(events, args, tagged)

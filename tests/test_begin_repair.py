@@ -69,8 +69,18 @@ def test_keep_class_is_identity(spark, tagged):
     assert set(got) == {0, 34}
     assert got[34]["text"] == "critical flaw"
     assert got[34]["n_tokens"] == 2
-    # context columns are dropped
-    assert not [c for c in out.columns if c.startswith("_")]
+    # begin-context columns dropped; end-context columns survive for
+    # the subsequent repair_ends stage, which drops them (even when
+    # its weights are None)
+    from casie_spark.operators.begin_repair import (
+        _END_CTX_COLS,
+        repair_ends,
+    )
+
+    leftover = [c for c in out.columns if c.startswith("_")]
+    assert sorted(leftover) == sorted(_END_CTX_COLS)
+    done = repair_ends(out, None)
+    assert not [c for c in done.columns if c.startswith("_")]
 
 
 def test_shift_minus1_applies_and_guards(spark, tagged):
@@ -112,11 +122,23 @@ def test_shift_plus1_applies_and_guards(spark, tagged):
 
 
 def test_none_weights_passthrough(spark, tagged):
+    from casie_spark.operators.begin_repair import (
+        _END_CTX_COLS,
+        repair_ends,
+    )
+
     args0 = arguments_with_context(tagged)
     out = repair_begins(args0, None)
     got = spans_by_begin(out)
     assert got[34]["text"] == "critical flaw"
-    assert not [c for c in out.columns if c.startswith("_")]
+    # begin-context columns dropped; end-context columns remain for
+    # repair_ends, which drops them even with None weights
+    leftover = [c for c in out.columns if c.startswith("_")]
+    assert sorted(leftover) == sorted(_END_CTX_COLS)
+    done = repair_ends(out, None)
+    assert not [c for c in done.columns if c.startswith("_")]
+    got2 = spans_by_begin(done)
+    assert got2[34]["text"] == "critical flaw"
 
 
 def test_trigger_head_path(spark, tagged):
@@ -135,6 +157,55 @@ def test_trigger_head_path(spark, tagged):
     # "flaw" trigger pulled onto "critical"
     assert 34 in got and got[34]["text"] == "critical flaw"
     assert got[34]["subtype"] == "Databreach"
+
+
+def test_end_shift_plus1_applies_and_guards(spark, tagged):
+    """END +1 absorbs the following token; a span whose next token is
+    the sentence terminator still absorbs it (it exists); the sent-0
+    span's +1 target 'found' exists too — force +2 to hit the guard."""
+    from casie_spark.operators.begin_repair import END_SHIFTS, repair_ends
+
+    args0 = repair_begins(arguments_with_context(tagged),
+                          forced_weights(SHIFTS.index(0)))
+    out = repair_ends(args0, forced_weights(END_SHIFTS.index(1)))
+    got = spans_by_begin(out)
+    # "critical flaw" absorbs the "." (begin 48)
+    assert got[34]["text"] == "critical flaw ."
+    assert got[34]["n_tokens"] == 3
+    assert got[34]["end"] - got[34]["begin"] == len(got[34]["text"])
+    assert got[0]["text"] == "Flaw found"  # sent-0 absorbs "found"
+
+
+def test_end_shift_minus1_applies_and_guards(spark, tagged):
+    from casie_spark.operators.begin_repair import END_SHIFTS, repair_ends
+
+    args0 = repair_begins(arguments_with_context(tagged),
+                          forced_weights(SHIFTS.index(0)))
+    out = repair_ends(args0, forced_weights(END_SHIFTS.index(-1)))
+    got = spans_by_begin(out)
+    # 2-token span drops its last token
+    assert got[34]["text"] == "critical"
+    assert got[34]["n_tokens"] == 1
+    assert got[34]["end"] == 34 + len("critical")
+    # single-token span cannot shrink -> keep
+    assert got[0]["text"] == "Flaw"
+
+
+def test_end_shift_plus2_and_chain_after_begin(spark, tagged):
+    """begin -1 then end +2: both edges move, offsets stay exact."""
+    from casie_spark.operators.begin_repair import END_SHIFTS, repair_ends
+
+    args0 = repair_begins(arguments_with_context(tagged),
+                          forced_weights(SHIFTS.index(-1)))
+    out = repair_ends(args0, forced_weights(END_SHIFTS.index(2)))
+    got = spans_by_begin(out)
+    # sent-1: begin pulled onto "the" (29); end +2 would need two
+    # tokens after "flaw" but only "." exists -> guard keeps end
+    assert got[29]["text"] == "the  critical flaw"
+    # sent-0: "Flaw" + "found ." absorbed
+    assert got[0]["text"] == "Flaw found ."
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["end"] - got[0]["begin"] == len(got[0]["text"])
 
 
 def test_featurizer_deterministic_and_null_safe():

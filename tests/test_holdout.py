@@ -7,14 +7,17 @@ trainfile/testfile lists (nug_arg_detection.py:232-275), with
 emissions, transitions AND the λ scale fit on the train folds only and
 mention + end-to-end triple metrics scored on the untouched fold.
 
-Measured (r3): held-out nugget Dice F1 0.467, argument 0.339, triple
-exact-key 0.166 (every learned head fold-restricted: tagger
-emissions/transitions/λ, two-head begin repair, roles, realis, link
-ranker) — vs the same artifact's train-split 0.795 / 0.837 and the
-full-corpus memorization numbers (0.797 / 0.808 / 0.73, BASELINE.md).  The gap is real and documented: the model's features
-are lexical-identity hashes plus shape (no pretrained embeddings exist
-in this container), so unseen-vocabulary mentions are reachable only
-through shape/affix signal.  The gates pin the measured floors so a
+Measured (r4): held-out nugget Dice F1 0.466, argument 0.376 (r3:
+0.339 — the sev head + four-edge repair), triple exact-key 0.179
+(r3: 0.166), every learned head fold-restricted: tagger emissions/
+transitions/λ, sev cross-fit, four-edge span repair, roles, realis,
+link ranker — vs the full-corpus memorization numbers (0.802 / 0.843
+/ 0.748, BASELINE.md).  The gap is real and documented: the model's
+features are lexical-identity hashes plus shape (no pretrained
+embeddings exist in this container), so unseen-vocabulary mentions
+are reachable only through shape/affix signal — and the r4 word-class
+experiment (BASELINE.md) measured that in-domain distributional
+features do not close it.  The gates pin the measured floors so a
 regression in the trainer or the split shows up; the recorded file
 must also be CONSISTENT with the in-repo split function (fold counts
 recomputed from the corpus).
@@ -42,10 +45,10 @@ def metrics():
 def test_holdout_metrics_recorded_and_floored(metrics):
     assert metrics["n_folds"] == N_FOLDS
     assert metrics["n_train_docs"] + metrics["n_test_docs"] == 1000
-    # held-out floors (measured r3: 0.467 / 0.339 / 0.166)
+    # held-out floors (measured r4: 0.466 / 0.376 / 0.179)
     assert metrics["heldout_nugget"]["f1"] >= 0.42, metrics["heldout_nugget"]
-    assert metrics["heldout_argument"]["f1"] >= 0.30, metrics["heldout_argument"]
-    assert metrics["heldout_triples"]["f1"] >= 0.14, metrics["heldout_triples"]
+    assert metrics["heldout_argument"]["f1"] >= 0.34, metrics["heldout_argument"]
+    assert metrics["heldout_triples"]["f1"] >= 0.16, metrics["heldout_triples"]
     # the train side of the same weights must stay near the deployment
     # fit — if it collapses, the holdout artifact was produced by a
     # broken trainer rather than a generalization-limited one

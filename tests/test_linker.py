@@ -83,11 +83,14 @@ def test_base_vector_shapes_and_clips():
         np.array([-2000.0, 10.0]), np.array([2000.0, 10.0]),
         np.array([1.0, 0.0]), np.array([1.0, 0.0]),
         np.array([0.0, 1.0]), np.array([3.0, 3.0]),
-        np.array([9.0, 0.0]), np.array([0.0, 2.0]))
+        np.array([9.0, 0.0]), np.array([0.0, 2.0]),
+        np.array([0.0, 1.0]))
     assert X.shape == (2, N_BASE)
     assert X[0, 2] == -2.0 and X[0, 3] == 2.0      # distance clipped
     assert X[0, 8] == 4.0                          # commas clipped
     assert X[0, 10] == 1.0 and X[1, 10] == 0.0     # no-trigger-between
+    assert X[0, 11] == 0.0 and X[1, 11] == 1.0     # sentence gap
+    assert X[0, 12] == 0.0 and X[1, 12] == 1.0     # trigger in later sent
 
 
 @pytest.fixture(scope="module")

@@ -90,3 +90,56 @@ def test_custom_weights_injectable(spark):
     assert rows["stole"] == ("O", "O")
     assert rows["Hackers"] == ("O", "O")
     assert rows["2019"][1] == "B-Time"  # JVM-side year shape survives
+
+
+def test_sentence_flag_ids_golden():
+    """sev ids: 1 for every token of a sentence containing any non-O
+    decoded label, 0 otherwise; empty input safe."""
+    import numpy as np
+
+    from casie_spark.operators.model_tagger import sentence_flag_ids
+
+    path = np.array([0, 0, 2, 0, 0, 0, 1, 0, 0])
+    starts = np.array([0, 4, 6])
+    assert sentence_flag_ids(path, starts, 9).tolist() == [
+        1, 1, 1, 1, 0, 0, 1, 1, 1]
+    assert sentence_flag_ids(
+        np.zeros(3, np.int64), np.array([0]), 3).tolist() == [0, 0, 0]
+    assert sentence_flag_ids(
+        np.zeros(0, np.int64), np.array([]), 0).tolist() == []
+
+
+def test_sev_table_biases_arg_decode():
+    """A 'sev' table on the arg head shifts arg logits by the decoded
+    trigger flag of the token's sentence: with a strongly negative
+    non-O column for flag=0, arg predictions in trigger-less sentences
+    are suppressed; the trigger path itself is unaffected."""
+    import numpy as np
+
+    from casie_spark.operators.model_tagger import (
+        ARTIFACT_PATH,
+        load_weights,
+    )
+
+    base = load_weights(ARTIFACT_PATH)
+    toks = ["Attackers", "stole", "records", ".",
+            "The", "weather", "was", "mild", "."]
+    prevs = [None] + toks[:-1]
+    nexts = toks[1:] + [None]
+    starts = np.array([0, 4])
+    trig0, arg0 = base.decode(toks, prevs, nexts, starts)
+
+    sev = np.zeros((2, len(base.arg_labels)), np.float32)
+    sev[0, 1:] = -1e6  # no-trigger sentence: forbid non-O args
+    with_sev = TaggerWeights(
+        w_trigger=base.w_trigger, w_arg=base.w_arg,
+        trigger_labels=base.trigger_labels, arg_labels=base.arg_labels,
+        trig_ctx=base.trig_ctx, arg_ctx={**base.arg_ctx, "sev": sev},
+        trig_trans=base.trig_trans, arg_trans=base.arg_trans)
+    trig1, arg1 = with_sev.decode(toks, prevs, nexts, starts)
+    assert (trig0 == trig1).all()
+    flags = trig1 != 0
+    # sentence 0 has a decoded trigger ("stole"); sentence 1 must not
+    assert flags[:4].any() and not flags[4:].any()
+    assert (arg1[4:] == 0).all()          # suppressed where flag=0
+    assert (arg1[:4] == arg0[:4]).all()   # untouched where flag=1

@@ -20,14 +20,19 @@ from casie_spark.operators.model_tagger import (
 def test_artifact_present_and_well_formed():
     w = load_weights(ARTIFACT_PATH)
     assert w.trig_ctx is not None, "trained artifact missing"
-    # the trigger head carries the full key set incl. affix tables;
-    # the argument head omits the affixes by design (train_tagger.train)
-    for k in _CTX_KEYS:
-        assert k in w.trig_ctx
+    # r4 key sets (train_tagger.train): the trigger head carries the
+    # lexical/shape/affix gather set; word-class tables are excluded
+    # from BOTH heads (measured capacity dilution) and the argument
+    # head additionally omits the affixes but carries the decode-time
+    # "sev" table (cross-fitted predicted sentence flags)
+    classes = {"c0f", "c0c", "cm1c", "cp1c"}
+    for k in (set(_CTX_KEYS) - {"sev"} - classes):
+        assert k in w.trig_ctx, k
         assert np.isfinite(w.trig_ctx[k]).all()
-    for k in (set(_CTX_KEYS) - {"pf3", "sf3", "sf4"}):
-        assert k in w.arg_ctx
+    for k in (set(_CTX_KEYS) - {"pf3", "sf3", "sf4"} - classes):
+        assert k in w.arg_ctx, k
         assert np.isfinite(w.arg_ctx[k]).all()
+    assert w.arg_ctx["sev"].shape[0] == 2
     assert w.trigger_labels[0] == "O" and w.arg_labels[0] == "O"
     assert len(w.arg_labels) == 22  # full gold argument inventory
 
@@ -36,9 +41,11 @@ def test_trained_tagger_beats_rule_floor(spark):
     from casie_spark.operators.train_tagger import evaluate
 
     m = evaluate(spark, "model")
+    # r4 artifact (sev arg head): nugget P .709/R .922/F1 .802,
+    # argument P .800/R .890/F1 .843
     assert m["nugget"]["precision"] >= 0.70, m["nugget"]
-    assert m["nugget"]["f1"] >= 0.78, m["nugget"]
-    assert m["argument"]["f1"] >= 0.80, m["argument"]
+    assert m["nugget"]["f1"] >= 0.79, m["nugget"]
+    assert m["argument"]["f1"] >= 0.83, m["argument"]
     # recall must not collapse under the transition term
     assert m["nugget"]["recall"] >= 0.85, m["nugget"]
     # the model must over-predict mentions by at most ~1.5x gold
@@ -73,9 +80,8 @@ def test_end_to_end_triple_quality_gate(spark):
     pred = run_pipeline(docs, id_col="doc_id", mode="model")
     m = triple_prf(pred, gold_triples(ann))
     ann.unpersist()
-    # measured r3 (two-head begin repair + trigger-affix features):
-    # P 0.739 / R 0.718 / F1 0.729 (role fix alone: 0.634; +arg
-    # repair: 0.682; +affixes: 0.704; +trigger repair: 0.729)
-    assert m["f1"] >= 0.70, m
+    # measured r4 (sev arg head + four-edge span repair + widened-pool
+    # linker): P 0.727 / R 0.771 / F1 0.748 (r3: 0.739/0.718/0.729)
+    assert m["f1"] >= 0.73, m
     assert m["precision"] >= 0.71, m
-    assert m["recall"] >= 0.69, m
+    assert m["recall"] >= 0.75, m
