@@ -45,6 +45,7 @@ doc_id partitioning; the per-doc pubdate joins in at EVENT scale
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import numpy as np
@@ -58,6 +59,20 @@ from ..functions.timeparse import day_difference, resolve_time
 OUT_SCHEMA_TMPL = "doc_id {id_type}, event_id long, cluster_id long"
 
 _ARG_SEP = "\x1f"  # unit separator: never appears in argument surfaces
+
+COREF_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "coref_weights.npz")
+
+# Feature order of the TRAINED pair scorer (operators/train_coref.py).
+# The first seven are the reference's features in raw (un-normalized)
+# form; argoverlap and exact are the two extra surface signals the
+# BASELINE.md ceiling analysis measured (argument token overlap AUC
+# 0.571, trigger surface identity — the strongest same-hopper cue).
+COREF_PAIR_FEATURES = [
+    "nugdiff", "realisdiff", "argtype", "argcoref",
+    "nugdist", "argmiss", "timedist", "argoverlap", "exact",
+]
 
 
 def _trigram_jaccard(a: str, b: str) -> float:
@@ -161,91 +176,168 @@ def average_linkage_clusters(dist: np.ndarray, threshold: float) -> list[int]:
     return labels
 
 
-def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    doc_id = pdf["doc_id"].iloc[0]
-    pubdate = _parse_pubdate(pdf["pubdate"].iloc[0]) if "pubdate" in pdf else (0, 0, 0)
-    next_cluster = 0
-    for subtype in sorted(pdf["subtype"].unique()):
-        sub = pdf[pdf["subtype"] == subtype].sort_values("event_id")
-        n = len(sub)
-        if n == 1:
-            out.append((doc_id, int(sub["event_id"].iloc[0]), next_cluster))
-            next_cluster += 1
-            continue
-        texts = sub["event_text"].tolist()
-        sents = sub["sent_id"].to_numpy(dtype=float)
-        realis = sub["realis"].fillna("").tolist()
-        typelists = [
-            [t for t in (s or "").split("|") if t] for s in sub["arg_types"]
-        ]
-        typecounts = [Counter(tl) for tl in typelists]
-        argtexts = [
-            [t for t in (s or "").split(_ARG_SEP) if t]
-            for s in sub["arg_texts"]
-        ]
-        times = ["" if t is None or t != t else str(t)
-                 for t in sub["time_surface"]]
+def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int]
+                  ) -> dict[str, np.ndarray]:
+    """Raw (n, n) pair-feature matrices for one (doc, subtype) event
+    group (pandas frame with event_text/sent_id/realis/arg_types/
+    arg_texts/time_surface columns, already sorted by event_id).
 
-        nugdiff = np.zeros((n, n))
-        nugdist = np.zeros((n, n))
-        realisdiff = np.zeros((n, n))
-        argtype = np.zeros((n, n))
-        argmiss = np.zeros((n, n))
-        timedist = np.zeros((n, n))
-        argcoref = np.zeros((n, n))
-        for i in range(n):
-            for j in range(n):
-                if i == j:
-                    continue
-                nugdiff[i, j] = 1.0 - _trigram_jaccard(texts[i], texts[j])
-                nugdist[i, j] = abs(sents[i] - sents[j])
-                realisdiff[i, j] = 0.0 if realis[i] == realis[j] else 1.0
-                # multiset remove-first intersection (:1579-1588)
-                inter = sum((typecounts[i] & typecounts[j]).values())
-                argtype[i, j] = inter
-                argmiss[i, j] = len(typelists[i]) - inter
-                # argument coref ratio (:1602-1613): fraction of
-                # (arg_i, arg_j) pairs whose mentions corefer; 1.0
-                # when either event has no arguments
-                cnt = tot = 0
-                for a1 in argtexts[i]:
-                    for a2 in argtexts[j]:
-                        if _is_coref(a1, a2):
-                            cnt += 1
-                        tot += 1
-                argcoref[i, j] = 1.0 - (cnt / tot) if tot else 1.0
-                # Time-argument day difference (:1590-1600); the
-                # reference keeps the LAST Time argument per event
-                # (surface overwritten in the argument loop, :502-507)
-                timedist[i, j] = _timedist(pubdate, times[i], times[j])
+    The seven reference features come back UN-normalized (the
+    reference-executed min-max is applied by the caller, see
+    _ref_minmax); argoverlap/exact are extra signals consumed only by
+    the trained scorer (COREF_PAIR_FEATURES).  argmiss is asymmetric
+    (e1 arg types absent from e2) — clustering and training both read
+    the upper triangle, matching average_linkage_clusters."""
+    n = len(sub)
+    texts = sub["event_text"].tolist()
+    sents = sub["sent_id"].to_numpy(dtype=float)
+    realis = sub["realis"].fillna("").tolist()
+    typelists = [
+        [t for t in (s or "").split("|") if t] for s in sub["arg_types"]
+    ]
+    typecounts = [Counter(tl) for tl in typelists]
+    argtexts = [
+        [t for t in (s or "").split(_ARG_SEP) if t]
+        for s in sub["arg_texts"]
+    ]
+    argtoks = [
+        {w for t in tl for w in t.lower().split()} for tl in argtexts
+    ]
+    times = ["" if t is None or t != t else str(t)
+             for t in sub["time_surface"]]
 
-        w = COREF_WEIGHTS  # reference order, link_coref.py:1656-1663
-        dist = (
-            w[0] * nugdiff
-            + w[1] * realisdiff
-            + w[2] * _ref_minmax(argtype)
-            + w[3] * argcoref
-            + w[4] * _ref_minmax(nugdist)
-            + w[5] * _ref_minmax(argmiss)
-            + w[6] * timedist
-        )
-        np.fill_diagonal(dist, 0.0)
-        labels = average_linkage_clusters(dist, COREF_THRESHOLD)
-        for eid, lab in zip(sub["event_id"], labels):
-            out.append((doc_id, int(eid), next_cluster + lab))
-        next_cluster += max(labels) + 1
-    return pd.DataFrame(out, columns=["doc_id", "event_id", "cluster_id"])
+    m = {k: np.zeros((n, n)) for k in COREF_PAIR_FEATURES}
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            m["nugdiff"][i, j] = 1.0 - _trigram_jaccard(texts[i], texts[j])
+            m["nugdist"][i, j] = abs(sents[i] - sents[j])
+            m["realisdiff"][i, j] = 0.0 if realis[i] == realis[j] else 1.0
+            # multiset remove-first intersection (:1579-1588)
+            inter = sum((typecounts[i] & typecounts[j]).values())
+            m["argtype"][i, j] = inter
+            m["argmiss"][i, j] = len(typelists[i]) - inter
+            # argument coref ratio (:1602-1613): fraction of
+            # (arg_i, arg_j) pairs whose mentions corefer; 1.0
+            # when either event has no arguments
+            cnt = tot = 0
+            for a1 in argtexts[i]:
+                for a2 in argtexts[j]:
+                    if _is_coref(a1, a2):
+                        cnt += 1
+                    tot += 1
+            m["argcoref"][i, j] = 1.0 - (cnt / tot) if tot else 1.0
+            # Time-argument day difference (:1590-1600); the
+            # reference keeps the LAST Time argument per event
+            # (surface overwritten in the argument loop, :502-507)
+            m["timedist"][i, j] = _timedist(pubdate, times[i], times[j])
+            # extra trained-scorer signals
+            u = argtoks[i] | argtoks[j]
+            m["argoverlap"][i, j] = (
+                len(argtoks[i] & argtoks[j]) / len(u) if u else 0.0
+            )
+            m["exact"][i, j] = (
+                1.0 if texts[i].lower() == texts[j].lower() else 0.0
+            )
+    return m
 
 
-def cluster_events(events: DataFrame, linked: DataFrame,
-                   pubdates: DataFrame | None = None) -> DataFrame:
-    """events + linked arg pairs -> (doc_id, event_id, cluster_id).
+def reference_distance(m: dict[str, np.ndarray]) -> np.ndarray:
+    """The reference's weighted 7-feature distance (link_coref.py:
+    1656-1663) with the executed normalization quirk."""
+    w = COREF_WEIGHTS
+    dist = (
+        w[0] * m["nugdiff"]
+        + w[1] * m["realisdiff"]
+        + w[2] * _ref_minmax(m["argtype"])
+        + w[3] * m["argcoref"]
+        + w[4] * _ref_minmax(m["nugdist"])
+        + w[5] * _ref_minmax(m["argmiss"])
+        + w[6] * m["timedist"]
+    )
+    np.fill_diagonal(dist, 0.0)
+    return dist
 
-    ``pubdates``: optional (doc_id, pubdate) frame, pubdate the raw
-    'y_m_d' header string — enables the timedist feature (otherwise
-    every date resolves against (0,0,0) and timedist still fires on
-    fully-specified surfaces only)."""
+
+def trained_distance(m: dict[str, np.ndarray], tw) -> np.ndarray:
+    """Distance = 1 - sigmoid(pair logit) under the trained combiner
+    (train_coref.py): standardized raw features, logistic weights fit
+    5-fold cross-doc; the artifact's threshold was grid-picked on the
+    TRAIN folds only (honest protocol, BASELINE.md round 4)."""
+    w, b, mu, sd, _thr = tw
+    z = np.full_like(m["nugdiff"], float(b))
+    for k, name in enumerate(COREF_PAIR_FEATURES):
+        z += w[k] * ((m[name] - mu[k]) / sd[k])
+    dist = 1.0 - 1.0 / (1.0 + np.exp(-z))
+    np.fill_diagonal(dist, 0.0)
+    return dist
+
+
+_COREF_CACHE: dict[str, tuple | None] = {}
+
+
+def load_coref_weights(path: str | None = None):
+    """(w, b, mu, sd, threshold) or None when no artifact.  Cached per
+    (process, path); absence is NOT pinned (matching load_begin_weights
+    — a probe before training must not mask a later save)."""
+    p = path or COREF_ARTIFACT
+    if p in _COREF_CACHE:
+        return _COREF_CACHE[p]
+    if not os.path.exists(p):
+        return None
+    z = np.load(p, allow_pickle=False)
+    if z["w"].shape[0] != len(COREF_PAIR_FEATURES):
+        return None  # stale artifact from an older feature set
+    out = (z["w"].astype(np.float64), float(z["b"]),
+           z["mu"].astype(np.float64), z["sd"].astype(np.float64),
+           float(z["thr"]))
+    _COREF_CACHE[p] = out
+    return out
+
+
+def _make_cluster_doc(trained):
+    """applyInPandas body; ``trained`` is the (w, b, mu, sd, thr)
+    tuple for the trained scorer or None for the reference distance.
+    The tuple is tiny (9 floats + stats) — closure-pickled into the
+    UDF, no broadcast needed."""
+
+    def _cluster_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        doc_id = pdf["doc_id"].iloc[0]
+        pubdate = (_parse_pubdate(pdf["pubdate"].iloc[0])
+                   if "pubdate" in pdf else (0, 0, 0))
+        next_cluster = 0
+        for subtype in sorted(pdf["subtype"].unique()):
+            sub = pdf[pdf["subtype"] == subtype].sort_values("event_id")
+            n = len(sub)
+            if n == 1:
+                out.append((doc_id, int(sub["event_id"].iloc[0]), next_cluster))
+                next_cluster += 1
+                continue
+            m = pair_matrices(sub, pubdate)
+            if trained is not None:
+                dist = trained_distance(m, trained)
+                threshold = trained[4]
+            else:
+                dist = reference_distance(m)
+                threshold = COREF_THRESHOLD
+            labels = average_linkage_clusters(dist, threshold)
+            for eid, lab in zip(sub["event_id"], labels):
+                out.append((doc_id, int(eid), next_cluster + lab))
+            next_cluster += max(labels) + 1
+        return pd.DataFrame(out, columns=["doc_id", "event_id", "cluster_id"])
+
+    return _cluster_doc
+
+
+def coref_inputs(events: DataFrame, linked: DataFrame,
+                 pubdates: DataFrame | None = None) -> DataFrame:
+    """The per-event frame _cluster_doc consumes, BEFORE the groupBy:
+    (doc_id, event_id, subtype, sent_id, event_text, realis,
+    arg_types, arg_texts, time_surface, pubdate).  Exposed so
+    train_coref.py can collect the identical inputs the deployed
+    clustering sees."""
     has_text = "arg_text" in linked.columns
     has_arg_id = "arg_id" in linked.columns
     aggs = [
@@ -280,8 +372,40 @@ def cluster_events(events: DataFrame, linked: DataFrame,
         )
     else:
         base = base.withColumn("pubdate", F.lit(None).cast("string"))
+    return base
+
+
+def cluster_events(events: DataFrame, linked: DataFrame,
+                   pubdates: DataFrame | None = None,
+                   weights: str = "reference") -> DataFrame:
+    """events + linked arg pairs -> (doc_id, event_id, cluster_id).
+
+    ``pubdates``: optional (doc_id, pubdate) frame, pubdate the raw
+    'y_m_d' header string — enables the timedist feature (otherwise
+    every date resolves against (0,0,0) and timedist still fires on
+    fully-specified surfaces only).
+
+    ``weights``: 'reference' (default — the reference's fixed 7-weight
+    distance + 0.75 threshold, the parity-gated path), 'trained' (the
+    cross-fitted logistic combiner, requires the committed artifact),
+    'auto' (trained when the artifact exists, else reference), or an
+    explicit (w, b, mu, sd, thr) tuple (the fold-restricted holdout
+    protocol passes these)."""
+    if weights == "trained":
+        trained = load_coref_weights()
+        if trained is None:
+            raise FileNotFoundError(
+                f"no coref artifact at {COREF_ARTIFACT}; run "
+                "python -m casie_spark.operators.train_coref")
+    elif weights == "auto":
+        trained = load_coref_weights()
+    elif weights == "reference":
+        trained = None
+    else:
+        trained = weights
+    base = coref_inputs(events, linked, pubdates)
     # doc_id type follows the input (url string or hashed long key)
     id_type = dict(events.dtypes)["doc_id"]
     return base.groupBy("doc_id").applyInPandas(
-        _cluster_doc, schema=OUT_SCHEMA_TMPL.format(id_type=id_type)
+        _make_cluster_doc(trained), schema=OUT_SCHEMA_TMPL.format(id_type=id_type)
     )

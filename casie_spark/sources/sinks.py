@@ -75,7 +75,13 @@ def build_graph(documents: DataFrame, mode: str = "rules", gold=None,
             F.col(id_col).cast("string").alias("doc_id"),
             extract_pubdate_raw(F.col("html").cast("string")).alias("pubdate"),
         )
-    clusters = cluster_events(events, linked, pubdates=pubdates)
+    # mode=model clusters with the cross-fitted trained combiner
+    # (operators/train_coref.py; honest-CV pairwise F1 0.693 vs 0.654
+    # for the reference's fixed weights); rules/gold keep the
+    # reference distance so the differential parity gates stay stable
+    clusters = cluster_events(
+        events, linked, pubdates=pubdates,
+        weights="auto" if mode == "model" else "reference")
     d = dictionary if dictionary is not None else default_dictionary(spark)
     canon = canonicalize_surfaces(
         linked.withColumn("obj_surface", F.col("arg_text")), d, "obj_surface"

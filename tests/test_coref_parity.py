@@ -64,21 +64,9 @@ def test_b_cubed_hand_computed(spark):
     assert m["n_mentions"] == 3
 
 
-@pytest.fixture(scope="module")
-def pairwise(spark):
-    ann = load_annotations(spark).cache()
-    docs = ann.select("doc_id", F.col("content").alias("text"))
-    toks = tokenize(docs, id_col="doc_id").repartition(F.col("doc_id"))
-    tagged = materialize(
-        tag_gold_replay(toks, gold_events(ann), gold_arguments(ann)))
-    events = truncate(extract_events(tagged, carry=["realis"]))
-    linked = truncate(link(events, extract_arguments(tagged, carry=["role"]),
-                           tagged))
-    pubdates = ann.select("doc_id", F.col("info.date").alias("pubdate"))
-    clusters = cluster_events(events, linked, pubdates=pubdates)
+def _score_clusters(clusters, events, gev):
+    from casie_spark.scoring import b_cubed_f1
 
-    gev = gold_events(ann).select(
-        "doc_id", "hopper_id", F.col("nugget_begin").alias("begin"))
     pred = clusters.join(
         events.select("doc_id", "event_id", "begin"), ["doc_id", "event_id"])
     m = pred.join(gev, ["doc_id", "begin"], "inner").select(
@@ -93,16 +81,41 @@ def pairwise(spark):
     ).agg(F.sum(F.col("p") * F.col("g")).alias("tp"),
           F.sum("p").alias("np"), F.sum("g").alias("ng")).first()
     n_matched = m.count()
-    from casie_spark.scoring import b_cubed_f1
-
     b3 = b_cubed_f1(
         m.select("doc_id", "event_id", "cluster_id"),
         m.select("doc_id", "event_id", "hopper_id"),
     )
-    ann.unpersist()
     m.unpersist()
-    tagged.unpersist()
     return n_matched, agg["tp"], agg["np"], agg["ng"], b3
+
+
+@pytest.fixture(scope="module")
+def coref_scores(spark):
+    ann = load_annotations(spark).cache()
+    docs = ann.select("doc_id", F.col("content").alias("text"))
+    toks = tokenize(docs, id_col="doc_id").repartition(F.col("doc_id"))
+    tagged = materialize(
+        tag_gold_replay(toks, gold_events(ann), gold_arguments(ann)))
+    events = truncate(extract_events(tagged, carry=["realis"]))
+    linked = truncate(link(events, extract_arguments(tagged, carry=["role"]),
+                           tagged))
+    pubdates = ann.select("doc_id", F.col("info.date").alias("pubdate"))
+    gev = gold_events(ann).select(
+        "doc_id", "hopper_id", F.col("nugget_begin").alias("begin"))
+
+    scores = {}
+    for wmode in ("reference", "trained"):
+        clusters = cluster_events(events, linked, pubdates=pubdates,
+                                  weights=wmode)
+        scores[wmode] = _score_clusters(clusters, events, gev)
+    ann.unpersist()
+    tagged.unpersist()
+    return scores
+
+
+@pytest.fixture(scope="module")
+def pairwise(coref_scores):
+    return coref_scores["reference"]
 
 
 def test_most_gold_events_matched(pairwise):
@@ -125,3 +138,30 @@ def test_b_cubed_coref_floor(pairwise):
     assert b3["recall"] >= 0.85, b3
     assert b3["precision"] >= 0.70, b3
     assert b3["f1"] >= 0.78, b3
+
+
+def test_trained_coref_beats_reference_weights(coref_scores):
+    """The cross-fitted combiner (operators/train_coref.py, r4): on
+    the committed full-fit artifact the corpus measures pairwise
+    F1 0.694 / B3 F1 0.804 vs 0.654 / 0.794 for the reference's fixed
+    weights; the honest 5-fold CV protocol (every doc clustered by a
+    model + threshold fit without its fold) measures pairwise
+    P 0.564 / R 0.898 / F1 0.693, B3 0.803 — above the pair-level
+    oracle-fit ceiling (0.687) because clustering transitivity
+    recovers pairs the pair scorer alone cannot.  Floors carry a
+    small margin under the full-fit numbers."""
+    _, tp, npred, ngold, b3 = coref_scores["trained"]
+    precision = tp / npred
+    recall = tp / ngold
+    f1 = 2 * precision * recall / (precision + recall)
+    assert recall >= 0.86, (precision, recall, f1)
+    assert precision >= 0.54, (precision, recall, f1)
+    assert f1 >= 0.67, (precision, recall, f1)
+    assert b3["f1"] >= 0.79, b3
+
+    # and it must strictly beat the reference-weight operating point
+    _, rtp, rnp, rng, rb3 = coref_scores["reference"]
+    rp, rr = rtp / rnp, rtp / rng
+    rf1 = 2 * rp * rr / (rp + rr)
+    assert f1 > rf1, (f1, rf1)
+    assert b3["f1"] > rb3["f1"], (b3["f1"], rb3["f1"])
