@@ -149,21 +149,50 @@ def q06_sessionize(spark, sf_dir):
 
 def q07_asof_join(spark, sf_dir):
     """As-of join: each event -> user's latest order at/before event ts
-    (SURVEY 2.3 J4-style range join + top-1 per group)."""
+    (SURVEY 2.3 J4-style).
+
+    Implemented as the scale-safe union-window form (the r2/r3 plan
+    audits flagged the join form's unbounded-history fan-out): orders
+    and events union into one stream, ONE hash exchange on user_id,
+    and a running ``last(order, ignorenulls=True)`` over the
+    event-time sort carries each user's latest order forward.  No
+    join fan-out exists at any history length — a hot user's rows
+    stay linear — and ties at equal timestamps sort orders before
+    events (an order ON the event timestamp qualifies, matching the
+    ``o_orderdate <= ts`` semantics) with the largest o_orderkey
+    winning, the same tie-break as the former top-1-per-event join."""
     e = _load(spark, sf_dir, "events")
-    o = _load(spark, sf_dir, "orders").select(
-        F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate"), F.col("o_totalprice")
+    o = _load(spark, sf_dir, "orders")
+    orders = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("o_orderkey"),
+            F.round("o_totalprice", 2).alias("last_order_price"),
+        ).alias("ord"),
     )
-    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "inner")
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    events = e.select(
+        "user_id", "ts",
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast(
+            "struct<o_orderkey:long,last_order_price:double>").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_order"), F.col("ord.o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
+        orders.unionByName(events)
+        .withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+        .filter("is_order = 0 AND last_ord IS NOT NULL")
         .select(
-            "event_id", "user_id", "o_orderkey",
-            F.round("o_totalprice", 2).alias("last_order_price"),
+            "event_id", "user_id",
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.col("last_ord.last_order_price").alias("last_order_price"),
         )
     )
 
