@@ -30,6 +30,13 @@ _DEFAULTS = {
     # render plan strings quadratically; unbounded (the default) OOMs
     # the driver just EXPLAINing them during AQE updates
     "spark.sql.maxPlanStringLength": "1048576",
+    # The r4 repair/sev stages put >25 columns on some token-stream
+    # plan nodes, tripping the per-node FIELD-COUNT truncation warning
+    # (a different knob than the total-length cap above, which stays
+    # at 1 MB as the real guard).  Debug strings for a 40-field node
+    # are tiny; raise the field cap so recorded bench/test logs stay
+    # warning-free (the zero-truncation regression gate, CLAUDE.md).
+    "spark.sql.debug.maxToStringFields": "100",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
