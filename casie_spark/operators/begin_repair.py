@@ -177,37 +177,45 @@ def repair_begins(args: DataFrame, weights,
 
     df = args.withColumn(
         "_sh", _shift(label_col, "_tok", "_p1", "_p2", "_nx"))
+    return _apply_begin(df).drop(*_CTX_COLS)
+
+
+def _apply_begin(df: DataFrame, shift_col: str = "_sh") -> DataFrame:
+    """JVM-side begin edits for a predicted shift column: guard
+    unavailable targets to keep-as-is, then rewrite text / begin /
+    first_token_id / n_tokens.  Shared by repair_begins and the fused
+    repair_edges."""
+    sh = F.col(shift_col)
     # guard: fall back to 0 when the shift target does not exist
     df = df.withColumn(
-        "_sh",
-        F.when((F.col("_sh") == -1) & F.col("_p1b").isNotNull(), -1)
-        .when((F.col("_sh") == -2) & F.col("_p2b").isNotNull()
+        shift_col,
+        F.when((sh == -1) & F.col("_p1b").isNotNull(), -1)
+        .when((sh == -2) & F.col("_p2b").isNotNull()
               & F.col("_p1b").isNotNull(), -2)
-        .when((F.col("_sh") == 1) & F.col("_nxb").isNotNull()
+        .when((sh == 1) & F.col("_nxb").isNotNull()
               & (F.col("n_tokens") > 1), 1)
         .otherwise(0))
 
     pad1 = F.expr("repeat(' ', begin - _p1b - length(_p1))")
     pad2 = F.expr("repeat(' ', _p1b - _p2b - length(_p2))")
     new_text = (
-        F.when(F.col("_sh") == -1, F.concat("_p1", pad1, "text"))
-        .when(F.col("_sh") == -2,
+        F.when(sh == -1, F.concat("_p1", pad1, "text"))
+        .when(sh == -2,
               F.concat("_p2", pad2, "_p1", pad1, "text"))
-        .when(F.col("_sh") == 1,
+        .when(sh == 1,
               F.expr("substring(text, _nxb - begin + 1)"))
         .otherwise(F.col("text")))
     new_begin = (
-        F.when(F.col("_sh") == -1, F.col("_p1b"))
-        .when(F.col("_sh") == -2, F.col("_p2b"))
-        .when(F.col("_sh") == 1, F.col("_nxb"))
+        F.when(sh == -1, F.col("_p1b"))
+        .when(sh == -2, F.col("_p2b"))
+        .when(sh == 1, F.col("_nxb"))
         .otherwise(F.col("begin")))
     return (
         df.withColumn("text", new_text)
         .withColumn("begin", new_begin)
-        .withColumn("first_token_id",
-                    F.col("first_token_id") + F.col("_sh"))
-        .withColumn("n_tokens", F.col("n_tokens") - F.col("_sh"))
-        .drop("_sh", *_CTX_COLS)
+        .withColumn("first_token_id", F.col("first_token_id") + sh)
+        .withColumn("n_tokens", F.col("n_tokens") - sh)
+        .drop(shift_col)
     )
 
 
@@ -240,13 +248,23 @@ def repair_ends(args: DataFrame, weights,
 
     df = args.withColumn(
         "_sh", _shift(label_col, "_ltok", "_ln1", "_ln2", "_lp1"))
+    return _apply_end(df).drop(*_END_CTX_COLS)
+
+
+def _apply_end(df: DataFrame, shift_col: str = "_sh") -> DataFrame:
+    """JVM-side end edits for a predicted end-shift column (guard +
+    rewrite text / end / n_tokens).  Reads `begin` and `n_tokens`
+    from the frame, so when composed after :func:`_apply_begin` the
+    guards and substring arithmetic see the begin-adjusted values —
+    exactly the sequential repair_begins |> repair_ends semantics."""
+    sh = F.col(shift_col)
     # guard: keep-as-is when the shift target does not exist
     df = df.withColumn(
-        "_sh",
-        F.when((F.col("_sh") == 1) & F.col("_ln1b").isNotNull(), 1)
-        .when((F.col("_sh") == 2) & F.col("_ln1b").isNotNull()
+        shift_col,
+        F.when((sh == 1) & F.col("_ln1b").isNotNull(), 1)
+        .when((sh == 2) & F.col("_ln1b").isNotNull()
               & F.col("_ln2b").isNotNull(), 2)
-        .when((F.col("_sh") == -1) & F.col("_lp1b").isNotNull()
+        .when((sh == -1) & F.col("_lp1b").isNotNull()
               & (F.col("n_tokens") > 1), -1)
         .otherwise(0))
 
@@ -256,20 +274,70 @@ def repair_ends(args: DataFrame, weights,
     pad1 = F.expr("repeat(' ', _ln1b - end)")
     pad2 = F.expr("repeat(' ', _ln2b - (_ln1b + length(_ln1)))")
     new_text = (
-        F.when(F.col("_sh") == 1, F.concat("text", pad1, "_ln1"))
-        .when(F.col("_sh") == 2,
+        F.when(sh == 1, F.concat("text", pad1, "_ln1"))
+        .when(sh == 2,
               F.concat("text", pad1, "_ln1", pad2, "_ln2"))
-        .when(F.col("_sh") == -1,
+        .when(sh == -1,
               F.expr("substring(text, 1, _lp1b + length(_lp1) - begin)"))
         .otherwise(F.col("text")))
     new_end = (
-        F.when(F.col("_sh") == 1, n1_end)
-        .when(F.col("_sh") == 2, n2_end)
-        .when(F.col("_sh") == -1, lp1_end)
+        F.when(sh == 1, n1_end)
+        .when(sh == 2, n2_end)
+        .when(sh == -1, lp1_end)
         .otherwise(F.col("end")))
     return (
         df.withColumn("text", new_text)
         .withColumn("end", new_end)
-        .withColumn("n_tokens", F.col("n_tokens") + F.col("_sh"))
-        .drop("_sh", *_END_CTX_COLS)
+        .withColumn("n_tokens", F.col("n_tokens") + sh)
+        .drop(shift_col)
     )
+
+
+def repair_edges(args: DataFrame, begin_w, end_w,
+                 label_col: str = "arg_type") -> DataFrame:
+    """Fused begin+end repair (r4 VERDICT next #3): ONE pandas_udf
+    launch predicts both edge shifts per span — the end head's
+    features (last-token context columns) are untouched by the begin
+    edit, so both classes can be scored from the same Arrow batch;
+    only the *guards* are order-sensitive and those are JVM
+    expressions applied sequentially (_apply_begin then _apply_end),
+    reproducing repair_begins |> repair_ends bit-for-bit at half the
+    Python-worker round-trips."""
+    if begin_w is None and end_w is None:
+        return args.drop(*_CTX_COLS, *_END_CTX_COLS)
+    if end_w is None:
+        return repair_begins(args, begin_w, label_col).drop(*_END_CTX_COLS)
+    if begin_w is None:
+        return repair_ends(args.drop(*_CTX_COLS), end_w, label_col)
+    bc = args.sparkSession.sparkContext.broadcast((begin_w, end_w))
+
+    @pandas_udf("int")
+    def _shift2(at: pd.Series, tok: pd.Series, p1: pd.Series,
+                p2: pd.Series, nx: pd.Series, ltok: pd.Series,
+                ln1: pd.Series, ln2: pd.Series, lp1: pd.Series
+                ) -> pd.Series:
+        from .train_begin import _logits, begin_features
+
+        bw, ew = bc.value
+        atl = at.tolist()
+        fb = begin_features(atl, tok.tolist(), p1.tolist(),
+                            p2.tolist(), nx.tolist())
+        b_cls = _logits(bw, fb).argmax(axis=1)
+        fe = begin_features(atl, ltok.tolist(), ln1.tolist(),
+                            ln2.tolist(), lp1.tolist())
+        e_cls = _logits(ew, fe).argmax(axis=1)
+        b_sh = np.asarray(SHIFTS, np.int32)[b_cls]
+        e_sh = np.asarray(END_SHIFTS, np.int32)[e_cls]
+        # pack: (begin_shift + 2) * 8 + (end_shift + 1), both in-range
+        return pd.Series((b_sh + 2) * 8 + (e_sh + 1))
+
+    df = args.withColumn(
+        "_pk", _shift2(label_col, "_tok", "_p1", "_p2", "_nx",
+                       "_ltok", "_ln1", "_ln2", "_lp1"))
+    df = (
+        df.withColumn("_shb", F.expr("_pk div 8") - 2)
+        .withColumn("_she", F.expr("pmod(_pk, 8)") - 1)
+        .drop("_pk")
+    )
+    df = _apply_begin(df, "_shb").drop(*_CTX_COLS)
+    return _apply_end(df, "_she").drop(*_END_CTX_COLS)

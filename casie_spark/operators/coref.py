@@ -69,6 +69,12 @@ COREF_ARTIFACT = os.path.join(
 # form; argoverlap and exact are the two extra surface signals the
 # BASELINE.md ceiling analysis measured (argument token overlap AUC
 # 0.571, trigger surface identity — the strongest same-hopper cue).
+# NOT here: the r5 sieve-chain overlap (operators/sieve.py — the
+# CoreNLP-chain substitute; reference consumes real chains via
+# iscoref, link_coref.py:311-332) was built and MEASURED DEAD for
+# event-coref precision (AUC 0.561 over 8 variants, oracle-ceiling
+# delta +0.001, receipts in BASELINE.md) — pair_matrices still
+# computes it as a diagnostic when the trainer supplies _chains.
 COREF_PAIR_FEATURES = [
     "nugdiff", "realisdiff", "argtype", "argcoref",
     "nugdist", "argmiss", "timedist", "argoverlap", "exact",
@@ -176,8 +182,8 @@ def average_linkage_clusters(dist: np.ndarray, threshold: float) -> list[int]:
     return labels
 
 
-def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int]
-                  ) -> dict[str, np.ndarray]:
+def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int],
+                  extras: bool = True) -> dict[str, np.ndarray]:
     """Raw (n, n) pair-feature matrices for one (doc, subtype) event
     group (pandas frame with event_text/sent_id/realis/arg_types/
     arg_texts/time_surface columns, already sorted by event_id).
@@ -185,9 +191,12 @@ def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int]
     The seven reference features come back UN-normalized (the
     reference-executed min-max is applied by the caller, see
     _ref_minmax); argoverlap/exact are extra signals consumed only by
-    the trained scorer (COREF_PAIR_FEATURES).  argmiss is asymmetric
-    (e1 arg types absent from e2) — clustering and training both read
-    the upper triangle, matching average_linkage_clusters."""
+    the trained scorer (COREF_PAIR_FEATURES) and are skipped (left as
+    zero matrices) when ``extras`` is False — the reference path
+    discards them, so the parity clustering keeps its original per-doc
+    cost.  argmiss is asymmetric (e1 arg types absent from e2) —
+    clustering and training both read the upper triangle, matching
+    average_linkage_clusters."""
     n = len(sub)
     texts = sub["event_text"].tolist()
     sents = sub["sent_id"].to_numpy(dtype=float)
@@ -205,8 +214,16 @@ def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int]
     ]
     times = ["" if t is None or t != t else str(t)
              for t in sub["time_surface"]]
+    # per-event sieve-chain multisets — DIAGNOSTIC ONLY (the trainer's
+    # AUC table supplies _chains; the deployed scorer never does —
+    # the chain feature measured dead, BASELINE.md r5)
+    chaincnt = ([Counter(c) if isinstance(c, (list, tuple)) else Counter()
+                 for c in sub["_chains"]]
+                if "_chains" in sub.columns else None)
 
     m = {k: np.zeros((n, n)) for k in COREF_PAIR_FEATURES}
+    if chaincnt is not None:
+        m["chain"] = np.zeros((n, n))
     for i in range(n):
         for j in range(n):
             if i == j:
@@ -232,14 +249,25 @@ def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int]
             # reference keeps the LAST Time argument per event
             # (surface overwritten in the argument loop, :502-507)
             m["timedist"][i, j] = _timedist(pubdate, times[i], times[j])
-            # extra trained-scorer signals
-            u = argtoks[i] | argtoks[j]
-            m["argoverlap"][i, j] = (
-                len(argtoks[i] & argtoks[j]) / len(u) if u else 0.0
-            )
-            m["exact"][i, j] = (
-                1.0 if texts[i].lower() == texts[j].lower() else 0.0
-            )
+            if extras:
+                # extra trained-scorer signals
+                u = argtoks[i] | argtoks[j]
+                m["argoverlap"][i, j] = (
+                    len(argtoks[i] & argtoks[j]) / len(u) if u else 0.0
+                )
+                m["exact"][i, j] = (
+                    1.0 if texts[i].lower() == texts[j].lower() else 0.0
+                )
+                if chaincnt is not None:
+                    # sieve-chain overlap diagnostic: fraction of
+                    # (arg_i, arg_j) cross pairs in the SAME
+                    # document-level chain (argcoref pairing with
+                    # transitive chains instead of containment)
+                    ci, cj = chaincnt[i], chaincnt[j]
+                    tot = sum(ci.values()) * sum(cj.values())
+                    if tot:
+                        same = sum(v * cj[c] for c, v in ci.items())
+                        m["chain"][i, j] = same / tot
     return m
 
 
@@ -315,7 +343,7 @@ def _make_cluster_doc(trained):
                 out.append((doc_id, int(sub["event_id"].iloc[0]), next_cluster))
                 next_cluster += 1
                 continue
-            m = pair_matrices(sub, pubdate)
+            m = pair_matrices(sub, pubdate, extras=trained is not None)
             if trained is not None:
                 dist = trained_distance(m, trained)
                 threshold = trained[4]
@@ -332,14 +360,22 @@ def _make_cluster_doc(trained):
 
 
 def coref_inputs(events: DataFrame, linked: DataFrame,
-                 pubdates: DataFrame | None = None) -> DataFrame:
+                 pubdates: DataFrame | None = None,
+                 with_ments: bool = False) -> DataFrame:
     """The per-event frame _cluster_doc consumes, BEFORE the groupBy:
     (doc_id, event_id, subtype, sent_id, event_text, realis,
     arg_types, arg_texts, time_surface, pubdate).  Exposed so
     train_coref.py can collect the identical inputs the deployed
-    clustering sees."""
+    clustering sees.  ``with_ments`` additionally packs the per-event
+    (sent, begin, text, type) mention list for the sieve-chain
+    DIAGNOSTIC (trainer-only; the feature measured dead for
+    deployment — BASELINE.md r5)."""
+    from .sieve import FIELD_SEP, MENT_SEP
+
     has_text = "arg_text" in linked.columns
     has_arg_id = "arg_id" in linked.columns
+    has_pos = (with_ments and has_text and "arg_sent" in linked.columns
+               and "arg_begin" in linked.columns)
     aggs = [
         F.concat_ws("|", F.array_sort(F.collect_list("arg_type"))).alias("arg_types"),
         (
@@ -357,6 +393,21 @@ def coref_inputs(events: DataFrame, linked: DataFrame,
                 if has_text else F.lit(None).cast("string")
             )
         ).alias("time_surface"),
+        # packed per-event mention list for the sieve (sent, begin,
+        # text, type) in reading order — consumed doc-level by
+        # _cluster_doc; empty when the caller's frame has no positions
+        (
+            F.concat_ws(MENT_SEP, F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("arg_sent").cast("long").alias("s"),
+                    F.col("arg_begin").cast("long").alias("b"),
+                    F.col("arg_text").alias("t"),
+                    F.col("arg_type").alias("y")))),
+                lambda x: F.concat_ws(
+                    FIELD_SEP, x["s"].cast("string"),
+                    x["b"].cast("string"), x["t"], x["y"])))
+            if has_pos else F.lit("")
+        ).alias("arg_ments"),
     ]
     argl = linked.groupBy("doc_id", "event_id").agg(*aggs)
     base = events.select(
@@ -394,6 +445,11 @@ def cluster_events(events: DataFrame, linked: DataFrame,
     if weights == "trained":
         trained = load_coref_weights()
         if trained is None:
+            if os.path.exists(COREF_ARTIFACT):
+                raise ValueError(
+                    f"stale coref artifact at {COREF_ARTIFACT} (expected "
+                    f"{len(COREF_PAIR_FEATURES)} features); retrain with "
+                    "python -m casie_spark.operators.train_coref")
             raise FileNotFoundError(
                 f"no coref artifact at {COREF_ARTIFACT}; run "
                 "python -m casie_spark.operators.train_coref")
@@ -402,7 +458,12 @@ def cluster_events(events: DataFrame, linked: DataFrame,
     elif weights == "reference":
         trained = None
     else:
+        # explicit (w, b, mu, sd, thr) tuple (the holdout protocol);
+        # cross_validate builds thr=None internally — fall back to the
+        # reference threshold rather than let None reach the executor UDF
         trained = weights
+        if trained is not None and trained[4] is None:
+            trained = (*trained[:4], float(COREF_THRESHOLD))
     base = coref_inputs(events, linked, pubdates)
     # doc_id type follows the input (url string or hashed long key)
     id_type = dict(events.dtypes)["doc_id"]

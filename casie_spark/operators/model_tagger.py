@@ -59,6 +59,8 @@ VOCAB_SIZE = 1 << VOCAB_BITS
 BIGRAM_SIZE = 1 << 17
 TRIGRAM_SIZE = 1 << 18
 N_SHAPES = 10
+CNG_SIZE = 1 << 18   # hashed char-3..6-gram table rows
+CNG_MAX = 32         # padded bag width (id 0 = PAD row, pinned zero)
 
 TRIGGER_LABELS = ["O"] + list(config.EVENT_SUBTYPES)
 ARG_LABELS = ["O", "CVE", "Version", "Money", "Time", "Malware", "PII",
@@ -77,14 +79,20 @@ ARTIFACT_PATH = os.path.join(
 )
 
 _CTX_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
-             "pf3", "sf3", "sf4", "c0f", "c0c", "cm1c", "cp1c",
+             "pf3", "sf3", "sf4", "cng", "c0f", "c0c", "cm1c", "cp1c",
              "sev", "b")
 # "sev" (sentence-has-decoded-trigger, a (2, L) table on the arg head)
 # is NOT a gather key: its ids come from the trigger head's decoded
 # path, so TaggerWeights.decode applies it explicitly between the two
-# head decodes rather than from feature_arrays
+# head decodes rather than from feature_arrays.
+# "cng" is the hashed char-3..6-gram BAG (fastText-style subword
+# feature, Bojanowski et al. 2017): its ids are a padded (n, CNG_MAX)
+# matrix, gathered as table[ids].sum(axis=1) with the PAD row pinned
+# at zero — the r5 generalization channel that subsumes the interior
+# n-grams the pf3/sf3/sf4 affix slices miss ("secur", "crypt",
+# "-ware-" inside unseen product names).
 _GATHER_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
-                "pf3", "sf3", "sf4", "c0f", "c0c", "cm1c", "cp1c")
+                "pf3", "sf3", "sf4", "cng", "c0f", "c0c", "cm1c", "cp1c")
 
 
 def token_id(tok: str) -> int:
@@ -123,13 +131,47 @@ def _ngram_id(s: str, size: int) -> int:
     return zlib.crc32(s.encode("utf-8")) % size
 
 
-def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray]:
+def char_ngram_bag(tok: str) -> np.ndarray:
+    """Hashed bag of ALL char 3..6-grams of one lowercased token with
+    fastText boundary markers ('<tok>'), deduplicated and padded to a
+    fixed (CNG_MAX,) id row (PAD=0).  When a long token yields more
+    than CNG_MAX distinct grams, the smallest CNG_MAX hash ids are
+    kept — a deterministic MinHash-style subsample, independent of
+    gram order, identical at train and inference time."""
+    if not tok:
+        return np.zeros(CNG_MAX, np.int64)
+    t = "<" + tok + ">"
+    ids = {
+        2 + zlib.crc32(t[i:i + n].encode("utf-8")) % (CNG_SIZE - 2)
+        for n in (3, 4, 5, 6)
+        for i in range(len(t) - n + 1)
+    }
+    keep = sorted(ids)[:CNG_MAX]
+    out = np.zeros(CNG_MAX, np.int64)
+    out[:len(keep)] = keep
+    return out
+
+
+def _char_ngram_bags(low: list[str]) -> np.ndarray:
+    """(n, CNG_MAX) bag matrix for a batch, computed once per UNIQUE
+    lowercased surface (the Zipfian token stream makes the unique set
+    5-20x smaller than the batch) and scattered back."""
+    uniq, inv = np.unique(np.asarray(low, dtype=object), return_inverse=True)
+    bags = np.zeros((len(uniq), CNG_MAX), np.int64)
+    for u, tok in enumerate(uniq):
+        bags[u] = char_ngram_bag(tok)
+    return bags[inv]
+
+
+def feature_arrays(toks: list, prevs: list, nexts: list,
+                   cng: bool = True) -> dict[str, np.ndarray]:
     """Shared train/inference featurizer: hashed ids for the current
     token (raw + stem), its sentence neighbors (PAD at boundaries),
     its shape class, and the hashed bigrams/trigram around it (the
     memorization features — a linear sum over unigram tables cannot
     represent context-dependent labels; the n-gram rows can).  One
-    dict of int64 arrays per batch."""
+    dict of int64 arrays per batch.  ``cng=False`` skips the char
+    n-gram bag matrix (callers whose heads carry no cng table)."""
     from .tagging import _py_stem
 
     n = len(toks)
@@ -168,6 +210,11 @@ def feature_arrays(toks: list, prevs: list, nexts: list) -> dict[str, np.ndarray
         "sf3": ids(low, lambda t: PAD_ID if not t else token_id("\x03" + t[-3:])),
         "sf4": ids(low, lambda t: PAD_ID if not t else token_id("\x04" + t[-4:])),
     }
+    if cng:
+        # full char-3..6-gram bags (r5): interior subword shape of the
+        # CURRENT token — the transfer channel for unseen proper nouns
+        # / product names whose affixes alone carry no signal
+        out["cng"] = _char_ngram_bags(low)
     # induced word-class ids (PPMI-SVD clusters, operators/word_classes
     # — the Domain-Word2vec substitute): the strongest transfer signal;
     # an unseen token shares its class row with distributionally
@@ -208,11 +255,15 @@ class TaggerWeights:
             return self.w_trigger[f["s0"]], self.w_arg[f["t0"]]
         return _ctx_logits(self.trig_ctx, f), _ctx_logits(self.arg_ctx, f)
 
+    def _needs_cng(self) -> bool:
+        return any(ctx is not None and "cng" in ctx
+                   for ctx in (self.trig_ctx, self.arg_ctx))
+
     def score(self, toks: list, prevs: list, nexts: list
               ) -> tuple[np.ndarray, np.ndarray]:
         """Batch -> (trigger label indices, arg label indices) by
         per-token argmax (no sequence structure)."""
-        f = feature_arrays(toks, prevs, nexts)
+        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng())
         trig_logits, arg_logits = self._logits(f)
         return trig_logits.argmax(axis=1), arg_logits.argmax(axis=1)
 
@@ -230,7 +281,7 @@ class TaggerWeights:
         batch — no extra pass over the data.  The table is trained on
         PREDICTED flags from fold-wise cross-decoding
         (train_tagger._cross_fit_flags), matching this cascade."""
-        f = feature_arrays(toks, prevs, nexts)
+        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng())
         trig_logits, arg_logits = self._logits(f)
 
         def _path(logits, tr):
@@ -332,7 +383,10 @@ def _ctx_logits(tables: dict[str, np.ndarray], f: dict[str, np.ndarray]
     # span-identity arg head, Dice F1 0.81 -> 0.66 at the selected λ)
     for k in _GATHER_KEYS:
         if k in tables:
-            out += tables[k][f[k]]
+            g = tables[k][f[k]]
+            # bag features (cng) index with an (n, G) id matrix — sum
+            # the G gathered rows; the PAD row is pinned at zero
+            out += g if g.ndim == 2 else g.sum(axis=1)
     return out
 
 

@@ -44,6 +44,7 @@ from .. import config
 from .model_tagger import (
     ARTIFACT_PATH,
     BIGRAM_SIZE,
+    CNG_SIZE,
     GOLD_ARG_LABELS,
     N_SHAPES,
     TRIGGER_LABELS,
@@ -135,6 +136,8 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
         "pf3": (VOCAB_SIZE, n_labels), "sf3": (VOCAB_SIZE, n_labels),
         "sf4": (VOCAB_SIZE, n_labels), "b": (n_labels,),
     }
+    if "cng" in f:  # char-3..6-gram bag (r5 generalization channel)
+        shapes["cng"] = (CNG_SIZE, n_labels)
     # induced word-class tables (sized by the committed unsupervised
     # artifact; keys exist in `f` only when it is present)
     from .word_classes import ID_OFFSET, load_word_classes
@@ -172,7 +175,9 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
             keep = ~dropped[idx]
             logits = tables["b"][None, :].repeat(len(idx), axis=0)
             for k in gather:
-                if k in lex and word_dropout > 0:
+                if f[k].ndim == 2:  # bag feature: sum the gathered rows
+                    logits += tables[k][f[k][idx]].sum(axis=1)
+                elif k in lex and word_dropout > 0:
                     logits += tables[k][f[k][idx]] * keep[:, None]
                 else:
                     logits += tables[k][f[k][idx]]
@@ -184,7 +189,12 @@ def _train_head(f: dict[str, np.ndarray], y: np.ndarray, n_labels: int,
                 wts = cw[y[mi]]
                 mkeep = keep[mist]
                 for k in gather:
-                    if k in lex and word_dropout > 0:
+                    if f[k].ndim == 2:
+                        ids = f[k][mi]                  # (m, G) with PAD=0
+                        wb = wts[:, None] * (ids != 0)  # PAD rows get 0
+                        np.add.at(tables[k], (ids, y[mi][:, None]), wb)
+                        np.add.at(tables[k], (ids, pm[:, None]), -wb)
+                    elif k in lex and word_dropout > 0:
                         mk, yk, pk, wk = (mi[mkeep], y[mi][mkeep],
                                           pm[mkeep], wts[mkeep])
                         np.add.at(tables[k], (f[k][mk], yk), wk)
@@ -244,7 +254,9 @@ def sentence_starts(pdf) -> np.ndarray:
 
 
 def _cross_fit_flags(pdf, f, yt, n_folds: int = 5,
-                     lam: float = 2.0) -> np.ndarray:
+                     lam: float = 2.0,
+                     trig_drop: tuple = ("c0f", "c0c", "cm1c", "cp1c",
+                                         "cng")) -> np.ndarray:
     """Predicted sentence-has-trigger flags via fold-wise
     cross-decoding (the r3 'sev' retry — training on GOLD flags
     measured triple F1 0.729 -> 0.711 because inference flags come
@@ -273,8 +285,7 @@ def _cross_fit_flags(pdf, f, yt, n_folds: int = 5,
         # same recipe as the deployment trigger head, fit on the
         # other folds only
         head = _train_head(ftr, yt[tr], len(TRIGGER_LABELS),
-                           SEED + 100 + k,
-                           drop_keys=("c0f", "c0c", "cm1c", "cp1c"))
+                           SEED + 100 + k, drop_keys=trig_drop)
         tables = {kk: v.astype(np.float32) for kk, v in head.items()}
         # folds split whole docs, so both subsets keep sentence
         # contiguity; a row is a sentence start in the subset iff it
@@ -290,7 +301,8 @@ def _cross_fit_flags(pdf, f, yt, n_folds: int = 5,
     return flags
 
 
-def train(pdf, sev: bool = True) -> dict[str, np.ndarray]:
+def train(pdf, sev: bool = True,
+          cng_heads: tuple = ("trig",)) -> dict[str, np.ndarray]:
     """pandas frame from build_training_frame -> artifact arrays.
     ``sev``: train the arg head with the cross-fitted
     sentence-has-predicted-trigger table (see _cross_fit_flags) —
@@ -298,7 +310,13 @@ def train(pdf, sev: bool = True) -> dict[str, np.ndarray]:
     0.890 with precision also up), held-out arg F1 +0.013, held-out
     nugget +0.009; the r3 gold-flag variant of the same idea was
     rejected (0.729 -> 0.711 triples) because gold flags mismatch the
-    decoded cascade."""
+    decoded cascade.
+    ``cng_heads``: which heads train with the hashed char-3..6-gram
+    bag table ("trig"/"arg").  Default trigger-only — the r5 fixed-λ
+    probe (BASELINE.md) measured held-out nugget F1 0.466 -> 0.484
+    (recall +4.8 pt at equal precision) for trigger-only; on the
+    argument head the same bag moved arg F1 only +0.007 alone and
+    dragged nugget back down when combined — kept where it pays."""
     toks = pdf["token"].astype(str).tolist()
     prevs = pdf["prev"].tolist()
     nexts = pdf["next"].tolist()
@@ -326,15 +344,20 @@ def train(pdf, sev: bool = True) -> dict[str, np.ndarray]:
     #   rejected;
     # - the sev table (cross-fitted predicted sentence flags) is the
     #   r4 keeper — see the docstring numbers.
+    wc_drop = ("c0f", "c0c", "cm1c", "cp1c")
+    trig_drop = wc_drop + (() if "trig" in cng_heads else ("cng",))
+    arg_drop = ("pf3", "sf3", "sf4") + wc_drop + (
+        () if "arg" in cng_heads else ("cng",))
     trig = _train_head(f, yt, len(TRIGGER_LABELS), SEED,
-                       drop_keys=("c0f", "c0c", "cm1c", "cp1c"))
+                       drop_keys=trig_drop)
     fa = f
     if sev:
         fa = dict(f)
-        fa["sev"] = _cross_fit_flags(pdf, f, yt)
+        # the cross-fit trigger heads mirror the deployment trigger
+        # recipe so the arg head trains against the cascade it will see
+        fa["sev"] = _cross_fit_flags(pdf, f, yt, trig_drop=trig_drop)
     arg = _train_head(fa, ya, len(GOLD_ARG_LABELS), SEED + 1,
-                      drop_keys=("pf3", "sf3", "sf4",
-                                 "c0f", "c0c", "cm1c", "cp1c"))
+                      drop_keys=arg_drop)
 
     out: dict[str, np.ndarray] = {}
     for k, v in trig.items():
@@ -494,7 +517,8 @@ def doc_fold(doc_id: str, n_folds: int = N_FOLDS) -> int:
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n_folds
 
 
-def holdout_main() -> None:  # pragma: no cover - CLI entry
+def holdout_main(cng_heads: tuple = ("trig",),
+                 out_path: str | None = None) -> None:  # pragma: no cover - CLI entry
     """Held-out evaluation (r2 VERDICT missing #3): train on folds
     1..4 (~80% of documents), select λ on the TRAIN docs only, score
     mention Dice AND end-to-end triples on the untouched fold-0 docs.
@@ -527,7 +551,7 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
     print(f"docs: {len(train_docs)} train / {len(test_docs)} held out; "
           f"rows: {len(train_pdf)}/{len(pdf)}")
 
-    arrays = train(train_pdf)
+    arrays = train(train_pdf, cng_heads=cng_heads)
     raw = raw_transitions(train_pdf)
 
     print("selecting λ on the train split:")
@@ -589,6 +613,7 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
                     "out; emissions + transitions + λ + begin repair + "
                     "role/realis heads + link ranker all fit on train "
                     "folds only",
+        "cng_heads": list(cng_heads),
         "n_folds": N_FOLDS,
         "n_train_docs": len(train_docs),
         "n_test_docs": len(test_docs),
@@ -599,23 +624,24 @@ def holdout_main() -> None:  # pragma: no cover - CLI entry
         "train_argument": mention_train["argument"],
         "heldout_triples": triples,
     }
-    with open(HOLDOUT_METRICS_PATH, "w") as fh:
+    dest = out_path or HOLDOUT_METRICS_PATH
+    with open(dest, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
-    print(f"wrote {HOLDOUT_METRICS_PATH}")
+    print(f"wrote {dest}")
     print("held-out nugget:", mention["nugget"])
     print("held-out argument:", mention["argument"])
     print("held-out triples:", triples)
     spark.stop()
 
 
-def main() -> None:  # pragma: no cover - CLI entry
+def main(cng_heads: tuple = ("trig",)) -> None:  # pragma: no cover - CLI entry
     from ..session import get_spark
 
     spark = get_spark("train-tagger", master="local[16]",
                       shuffle_partitions=16)
     pdf = build_training_frame(spark)
     print(f"training rows: {len(pdf)}")
-    arrays = train(pdf)
+    arrays = train(pdf, cng_heads=cng_heads)
     raw = raw_transitions(pdf)
     print("selecting transition scale:")
     lam = select_transition_scale(spark, arrays, raw)
@@ -639,7 +665,11 @@ def main() -> None:  # pragma: no cover - CLI entry
 if __name__ == "__main__":
     import sys
 
+    cng = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--cng=")]
+    heads = tuple(h for h in (cng[0].split(",") if cng else ["trig"]) if h)
     if "--holdout" in sys.argv:
-        holdout_main()
+        outp = [a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--out=")]
+        holdout_main(cng_heads=heads, out_path=outp[0] if outp else None)
     else:
-        main()
+        main(cng_heads=heads)

@@ -157,17 +157,14 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
     # The token-scale `tagged` frame keeps the cheaper columnar
     # materialize (its subtree renders once per reference, bounded).
     if begin_weights and begin_weights.get("trig"):
-        from .operators.begin_repair import (
-            events_with_context,
-            repair_begins,
-            repair_ends,
-        )
+        from .operators.begin_repair import events_with_context, repair_edges
 
-        events = truncate(repair_ends(
-            repair_begins(
-                events_with_context(tagged, carry=["realis"]),
-                begin_weights["trig"], label_col="subtype"),
-            begin_weights.get("trig_end"), label_col="subtype"))
+        # fused: ONE pandas_udf scores both edge heads per span kind
+        # (r4 VERDICT next #3 — halves the Python-worker round-trips)
+        events = truncate(repair_edges(
+            events_with_context(tagged, carry=["realis"]),
+            begin_weights["trig"], begin_weights.get("trig_end"),
+            label_col="subtype"))
     else:
         events = truncate(extract_events(tagged, carry=["realis"]))
     if "realis" not in events.columns:
@@ -182,15 +179,12 @@ def triples_from_tagged(tagged: DataFrame, role_provider=None,
     if begin_weights and begin_weights.get("arg"):
         from .operators.begin_repair import (
             arguments_with_context,
-            repair_begins,
-            repair_ends,
+            repair_edges,
         )
 
-        args = repair_ends(
-            repair_begins(
-                arguments_with_context(tagged, carry=["role"]),
-                begin_weights["arg"]),
-            begin_weights.get("arg_end"))
+        args = repair_edges(
+            arguments_with_context(tagged, carry=["role"]),
+            begin_weights["arg"], begin_weights.get("arg_end"))
     else:
         args = extract_arguments(tagged, carry=["role"])
     linked = (link_provider or link)(events, args, tagged)
