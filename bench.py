@@ -62,21 +62,22 @@ def main() -> None:
     from casie_spark.util import track_persists
 
     n_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
-    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _sweep in range(n_trials):
         for name in HEADLINE:
             with track_persists():
                 t0 = time.perf_counter()
                 rows[name] = QUERIES[name](spark, sf_dir).count()
-                best[name] = min(best[name], time.perf_counter() - t0)
+                trials[name].append(round(time.perf_counter() - t0, 3))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        timings[name] = round(best[name], 3)
-        total += best[name]
-        print(f"# {name}: {best[name]:.3f}s rows={rows[name]}",
-              file=sys.stderr)
+        best = min(trials[name])
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s rows={rows[name]} "
+              f"trials={trials[name]}", file=sys.stderr)
 
     # flagship: pages/sec triple extraction on synthetic CASIE pages.
     # The query suite above leaves cached frames and heap pressure in
@@ -95,37 +96,46 @@ def main() -> None:
     # rules, model, rules) for the same reason as the query sweeps:
     # the VM's throttle windows outlast three consecutive ~25 s trials
     # of one mode, but rarely a spread of five
-    dt_pipe = dt_model = float("inf")
+    pipe_trials: dict[str, list[float]] = {"rules": [], "model": []}
     n_triples = n_triples_m = 0
     for mode in ("rules", "model", "rules", "model", "rules"):
         t0 = time.perf_counter()
         n = run_pipeline(docs, mode=mode).count()
-        dt = time.perf_counter() - t0
+        pipe_trials[mode].append(round(time.perf_counter() - t0, 3))
         if mode == "rules":
-            dt_pipe = min(dt_pipe, dt)
             n_triples = n
         else:
-            dt_model = min(dt_model, dt)
             n_triples_m = n
+    dt_pipe = min(pipe_trials["rules"])
+    dt_model = min(pipe_trials["model"])
+    trials["pipeline_triple_extraction"] = pipe_trials["rules"]
+    trials["pipeline_model_inference"] = pipe_trials["model"]
     timings["pipeline_triple_extraction"] = round(dt_pipe, 3)
     total += dt_pipe
     pages_per_sec = n_pages / dt_pipe
     print(f"# pipeline: {dt_pipe:.3f}s pages={n_pages} triples={n_triples} "
-          f"-> {pages_per_sec:.1f} pages/sec", file=sys.stderr)
+          f"-> {pages_per_sec:.1f} pages/sec trials={pipe_trials['rules']}",
+          file=sys.stderr)
     # recorded per-query only — NOT added into headline_suite_wall, so
     # the headline keeps its round-1 composition (HEADLINE queries +
     # rules pipeline) and stays comparable across rounds (ADVICE r2)
     timings["pipeline_model_inference"] = round(dt_model, 3)
     model_pps = n_pages / dt_model
     print(f"# pipeline(model): {dt_model:.3f}s pages={n_pages} "
-          f"triples={n_triples_m} -> {model_pps:.1f} pages/sec",
-          file=sys.stderr)
+          f"triples={n_triples_m} -> {model_pps:.1f} pages/sec "
+          f"trials={pipe_trials['model']}", file=sys.stderr)
 
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # self-adjudicating artifact (r4 VERDICT next #4): EVERY sweep's
+        # wall time per entry, in sweep order — min/median/max spread
+        # settles throttle-vs-regression from the artifact alone.
+        # Headline composition above is unchanged (still the per-query
+        # minima).
+        "trials": trials,
         "sf": None,
         "pages_per_sec": round(pages_per_sec, 1),
         "pages_per_sec_model": round(model_pps, 1),
@@ -147,20 +157,22 @@ def main() -> None:
         n_scale = int(os.environ.get("SCALING_PAGES", "600000"))
         n_lo = int(os.environ.get("SCALING_N", "2"))
         tput = {}
+        scale_trials: dict[str, list[float]] = {}
         for c in (n_lo, n_lo * 4):
             s = get_spark(f"casie_scale_{c}", master=f"local[{c}]",
                           shuffle_partitions=c)
             d = synth_documents(s, n_scale, partitions=c * 4).persist()
             d.count()
             run_pipeline(d.limit(200), mode="rules").count()
-            best = float("inf")
+            walls = []
             for _ in range(2):  # best-of-2: VM throttling variance
                 t0 = time.perf_counter()
                 run_pipeline(d, mode="rules").count()
-                best = min(best, time.perf_counter() - t0)
-            tput[c] = n_scale / best
-            print(f"# scaling cpus={c}: {tput[c]:.1f} pages/sec",
-                  file=sys.stderr)
+                walls.append(round(time.perf_counter() - t0, 3))
+            scale_trials[str(c)] = walls
+            tput[c] = n_scale / min(walls)
+            print(f"# scaling cpus={c}: {tput[c]:.1f} pages/sec "
+                  f"trials={walls}", file=sys.stderr)
             s.stop()
         lo, hi = n_lo, n_lo * 4
         out["scaling"] = {
@@ -168,6 +180,7 @@ def main() -> None:
             f"pages_per_sec_{hi}": round(tput[hi], 1),
             "efficiency": round(tput[hi] / (4 * tput[lo]), 3),
             "n_pages": n_scale,
+            "trials": scale_trials,
         }
 
     print(json.dumps(out))

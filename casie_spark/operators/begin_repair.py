@@ -41,17 +41,21 @@ BEGIN_ARTIFACT = os.path.join(
 _BEGIN_CACHE: dict = {}
 
 # context columns arguments_with_context() adds (consumed and dropped
-# by repair_begins)
-_CTX_COLS = ("_tok", "_p1", "_p1b", "_p2", "_p2b", "_nx", "_nxb")
+# by repair_begins); _p1g/_p2g are the SAME-STREAM tags of the two
+# preceding tokens — the overlap guard's inputs (r4 VERDICT next #6)
+_CTX_COLS = ("_tok", "_p1", "_p1b", "_p2", "_p2b", "_nx", "_nxb",
+             "_p1g", "_p2g")
 # last-token context columns (consumed and dropped by repair_ends):
-# the span's last token, the two following tokens (text + begin) and
-# the token before the last one (inside the span when n_tokens > 1)
+# the span's last token, the two following tokens (text + begin +
+# same-stream tag) and the token before the last one (inside the span
+# when n_tokens > 1)
 _END_CTX_COLS = ("_ltok", "_ln1", "_ln1b", "_ln2", "_ln2b",
-                 "_lp1", "_lp1b")
+                 "_lp1", "_lp1b", "_lg1", "_lg2")
 # assemble_spans carry_last mapping that produces them
 _END_CARRY = {"_ltok": "token", "_ln1": "_nx", "_ln1b": "_nxb",
               "_ln2": "_n2", "_ln2b": "_n2b",
-              "_lp1": "_p1", "_lp1b": "_p1b"}
+              "_lp1": "_p1", "_lp1b": "_p1b",
+              "_lg1": "_ng1", "_lg2": "_ng2"}
 
 
 # artifact key prefix -> weights-dict key; "aend"/"tend" are the
@@ -83,20 +87,26 @@ def load_begin_weights(path: str | None = None):
     return _BEGIN_CACHE[p]
 
 
-def with_begin_context(tagged: DataFrame) -> DataFrame:
+def with_begin_context(tagged: DataFrame,
+                       tag_col: str | None = None) -> DataFrame:
     """Add sentence-scoped neighbor-token context columns to the token
     stream: previous/previous-2 token text + begin, next token text +
     begin.  The windows partition by doc_id and order by
     (sent_id, token_id) — the SAME partitioning every other tagging
     window uses, so no new Exchange enters the plan (the one-exchange
     gate in tests/test_plans.py covers the mode=model pipeline with
-    this stage active).  Cross-sentence neighbors are nulled."""
+    this stage active).  Cross-sentence neighbors are nulled.
+
+    ``tag_col`` additionally lags/leads the SAME-STREAM tag column
+    (trigger_tag for trigger spans, arg_tag for argument spans) into
+    _p1g/_p2g/_ng1/_ng2 — the overlap-guard inputs (a shift must not
+    absorb a token already owned by a neighboring same-stream span)."""
     w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
     same1 = F.lag("sent_id", 1).over(w) == F.col("sent_id")
     same2 = F.lag("sent_id", 2).over(w) == F.col("sent_id")
     samen = F.lead("sent_id", 1).over(w) == F.col("sent_id")
     samen2 = F.lead("sent_id", 2).over(w) == F.col("sent_id")
-    return (
+    out = (
         tagged
         .withColumn("_p1", F.when(same1, F.lag("token", 1).over(w)))
         .withColumn("_p1b", F.when(same1, F.lag("begin", 1).over(w)))
@@ -107,6 +117,15 @@ def with_begin_context(tagged: DataFrame) -> DataFrame:
         .withColumn("_n2", F.when(samen2, F.lead("token", 2).over(w)))
         .withColumn("_n2b", F.when(samen2, F.lead("begin", 2).over(w)))
     )
+    if tag_col is not None:
+        out = (
+            out
+            .withColumn("_p1g", F.lag(tag_col, 1).over(w))
+            .withColumn("_p2g", F.lag(tag_col, 2).over(w))
+            .withColumn("_ng1", F.lead(tag_col, 1).over(w))
+            .withColumn("_ng2", F.lead(tag_col, 2).over(w))
+        )
+    return out
 
 
 def arguments_with_context(tagged: DataFrame,
@@ -121,7 +140,8 @@ def arguments_with_context(tagged: DataFrame,
     n_tokens > 1, the end head's -1 target."""
     from .linking import extract_arguments
 
-    ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
+    ctx = with_begin_context(tagged, tag_col="arg_tag") \
+        .withColumn("_tok", F.col("token"))
     return extract_arguments(
         ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
         carry_last=_END_CARRY)
@@ -134,7 +154,8 @@ def events_with_context(tagged: DataFrame,
     shift heads."""
     from .linking import extract_events
 
-    ctx = with_begin_context(tagged).withColumn("_tok", F.col("token"))
+    ctx = with_begin_context(tagged, tag_col="trigger_tag") \
+        .withColumn("_tok", F.col("token"))
     return extract_events(
         ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
         carry_last=_END_CARRY)
@@ -180,18 +201,33 @@ def repair_begins(args: DataFrame, weights,
     return _apply_begin(df).drop(*_CTX_COLS)
 
 
-def _apply_begin(df: DataFrame, shift_col: str = "_sh") -> DataFrame:
+def _apply_begin(df: DataFrame, shift_col: str = "_sh",
+                 overlap_guard: bool = False) -> DataFrame:
     """JVM-side begin edits for a predicted shift column: guard
     unavailable targets to keep-as-is, then rewrite text / begin /
     first_token_id / n_tokens.  Shared by repair_begins and the fused
-    repair_edges."""
+    repair_edges.
+
+    ``overlap_guard`` (r4 VERDICT next #6): additionally suppress a
+    LEFT shift whose absorbed token carries a non-O tag of the same
+    stream (_p1g/_p2g from with_begin_context(tag_col=...)) — the
+    absorbed token is the tail of the PRECEDING predicted span, so the
+    unguarded shift would create overlapping spans."""
     sh = F.col(shift_col)
+
+    def _free(col):
+        if not overlap_guard:
+            return F.lit(True)
+        return F.col(col).isNull() | (F.col(col) == "O")
+
     # guard: fall back to 0 when the shift target does not exist
     df = df.withColumn(
         shift_col,
-        F.when((sh == -1) & F.col("_p1b").isNotNull(), -1)
+        F.when((sh == -1) & F.col("_p1b").isNotNull()
+               & _free("_p1g"), -1)
         .when((sh == -2) & F.col("_p2b").isNotNull()
-              & F.col("_p1b").isNotNull(), -2)
+              & F.col("_p1b").isNotNull()
+              & _free("_p1g") & _free("_p2g"), -2)
         .when((sh == 1) & F.col("_nxb").isNotNull()
               & (F.col("n_tokens") > 1), 1)
         .otherwise(0))
@@ -251,19 +287,30 @@ def repair_ends(args: DataFrame, weights,
     return _apply_end(df).drop(*_END_CTX_COLS)
 
 
-def _apply_end(df: DataFrame, shift_col: str = "_sh") -> DataFrame:
+def _apply_end(df: DataFrame, shift_col: str = "_sh",
+               overlap_guard: bool = False) -> DataFrame:
     """JVM-side end edits for a predicted end-shift column (guard +
     rewrite text / end / n_tokens).  Reads `begin` and `n_tokens`
     from the frame, so when composed after :func:`_apply_begin` the
     guards and substring arithmetic see the begin-adjusted values —
-    exactly the sequential repair_begins |> repair_ends semantics."""
+    exactly the sequential repair_begins |> repair_ends semantics.
+    ``overlap_guard``: suppress a RIGHT extension whose absorbed token
+    (_lg1/_lg2) is owned by the FOLLOWING same-stream span."""
     sh = F.col(shift_col)
+
+    def _free(col):
+        if not overlap_guard:
+            return F.lit(True)
+        return F.col(col).isNull() | (F.col(col) == "O")
+
     # guard: keep-as-is when the shift target does not exist
     df = df.withColumn(
         shift_col,
-        F.when((sh == 1) & F.col("_ln1b").isNotNull(), 1)
+        F.when((sh == 1) & F.col("_ln1b").isNotNull()
+               & _free("_lg1"), 1)
         .when((sh == 2) & F.col("_ln1b").isNotNull()
-              & F.col("_ln2b").isNotNull(), 2)
+              & F.col("_ln2b").isNotNull()
+              & _free("_lg1") & _free("_lg2"), 2)
         .when((sh == -1) & F.col("_lp1b").isNotNull()
               & (F.col("n_tokens") > 1), -1)
         .otherwise(0))
@@ -294,7 +341,8 @@ def _apply_end(df: DataFrame, shift_col: str = "_sh") -> DataFrame:
 
 
 def repair_edges(args: DataFrame, begin_w, end_w,
-                 label_col: str = "arg_type") -> DataFrame:
+                 label_col: str = "arg_type",
+                 overlap_guard: bool = False) -> DataFrame:
     """Fused begin+end repair (r4 VERDICT next #3): ONE pandas_udf
     launch predicts both edge shifts per span — the end head's
     features (last-token context columns) are untouched by the begin
@@ -339,5 +387,7 @@ def repair_edges(args: DataFrame, begin_w, end_w,
         .withColumn("_she", F.expr("pmod(_pk, 8)") - 1)
         .drop("_pk")
     )
-    df = _apply_begin(df, "_shb").drop(*_CTX_COLS)
-    return _apply_end(df, "_she").drop(*_END_CTX_COLS)
+    df = _apply_begin(df, "_shb", overlap_guard=overlap_guard) \
+        .drop(*_CTX_COLS)
+    return _apply_end(df, "_she", overlap_guard=overlap_guard) \
+        .drop(*_END_CTX_COLS)

@@ -300,6 +300,64 @@ def load_linker_weights(path: str | None = None):
     return out
 
 
+def with_score_jvm(cand: DataFrame, weights) -> DataFrame:
+    """score_rows as PURE JVM expressions (r4 VERDICT next #3): the
+    ranker is linear — base features are column math with literal
+    scalar weights, and the three table gathers (pair_idx / l1 / l2)
+    become broadcast hash joins against tiny weight frames (≤ LEXDIM
+    rows each, built driver-side once).  Removes the LAST pandas_udf
+    from the linking stage: no Arrow round-trip of 12 double columns
+    at candidate-pair scale, no Python workers.  Bit-compatibility
+    with :func:`score_rows` is asserted by
+    tests/test_linker.py::test_jvm_scorer_parity (|Δ| ≤ 1e-9 and
+    identical argmax picks)."""
+    w_base, w_pair, lex_trig, lex_arg = weights
+    spark = cand.sparkSession
+    w = [float(v) for v in w_base]
+    d, absd = F.col("d"), F.col("absd")
+    sentgap = F.col("sentgap")
+    base = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("same_sent")
+        + F.lit(w[2]) * F.greatest(F.least(d / 500.0, F.lit(2.0)),
+                                   F.lit(-2.0))
+        + F.lit(w[3]) * F.greatest(F.least(absd / 500.0, F.lit(2.0)),
+                                   F.lit(0.0))
+        + F.lit(w[4]) * (d <= 0).cast("double")
+        + F.lit(w[5]) * F.col("nearest")
+        + F.lit(w[6]) * F.col("first_ev")
+        + F.lit(w[7]) * F.log(F.greatest(F.col("n_cand"), F.lit(1.0)))
+        + F.lit(w[8]) * F.greatest(F.least(F.col("commas"), F.lit(4.0)),
+                                   F.lit(0.0))
+        + F.lit(w[9]) * F.greatest(F.least(F.col("trigs"), F.lit(4.0)),
+                                   F.lit(0.0))
+        + F.lit(w[10]) * (F.col("trigs") == 0).cast("double")
+        + F.lit(w[11]) * sentgap
+        + F.lit(w[12]) * (sentgap > 0).cast("double")
+    )
+    pair_df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w_pair)],
+        "pair_idx int, _wp double")
+    lt_df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(lex_trig)],
+        "l1 int, _wl1 double")
+    la_df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(lex_arg)],
+        "l2 int, _wl2 double")
+    return (
+        cand
+        .join(F.broadcast(pair_df), "pair_idx", "left")
+        .join(F.broadcast(lt_df), "l1", "left")
+        .join(F.broadcast(la_df), "l2", "left")
+        .withColumn(
+            "link_score",
+            base + F.coalesce("_wp", F.lit(0.0))
+            + F.coalesce("_wl1", F.lit(0.0))
+            + F.coalesce("_wl2", F.lit(0.0)))
+        .drop("_wp", "_wl1", "_wl2")
+    )
+
+
 def link_trained(events: DataFrame, arguments: DataFrame,
                  tagged: DataFrame, weights="auto") -> DataFrame:
     """Trained replacement for ``linking.link`` with the same output
@@ -314,32 +372,9 @@ def link_trained(events: DataFrame, arguments: DataFrame,
         from .linking import link
 
         return link(events, arguments, tagged)
-    spark = tagged.sparkSession
-    bc = spark.sparkContext.broadcast(weights)
 
     cand = candidate_frame(events, arguments, tagged)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _score(pair_idx, l1, l2,
-               d, absd, same_sent, nearest, first_ev, n_cand,
-               commas, trigs, sentgap):
-        import pandas as pd
-
-        w_base, w_pair, lex_trig, lex_arg = bc.value
-        pdf = pd.DataFrame({
-            "pair_idx": pair_idx, "l1": l1, "l2": l2,
-            "d": d, "absd": absd, "same_sent": same_sent,
-            "nearest": nearest, "first_ev": first_ev, "n_cand": n_cand,
-            "commas": commas, "trigs": trigs, "sentgap": sentgap,
-        })
-        return pd.Series(score_rows(pdf, w_base, w_pair, lex_trig, lex_arg))
-
-    scored = cand.withColumn("link_score", _score(
-        "pair_idx", "l1", "l2",
-        "d", "absd", "same_sent", "nearest", "first_ev", "n_cand",
-        "commas", "trigs", "sentgap"))
+    scored = with_score_jvm(cand, weights)
     wpick = Window.partitionBy("doc_id", "arg_id").orderBy(
         F.desc("link_score"), "event_id")
     keep = ["doc_id", "event_id", "subtype", "event_text", "event_begin",

@@ -88,9 +88,11 @@ _CTX_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
 # "cng" is the hashed char-3..6-gram BAG (fastText-style subword
 # feature, Bojanowski et al. 2017): its ids are a padded (n, CNG_MAX)
 # matrix, gathered as table[ids].sum(axis=1) with the PAD row pinned
-# at zero — the r5 generalization channel that subsumes the interior
-# n-grams the pf3/sf3/sf4 affix slices miss ("secur", "crypt",
-# "-ware-" inside unseen product names).
+# at zero.  Built as the r5 generalization channel (interior n-grams
+# the pf3/sf3/sf4 affix slices miss) and MEASURED-REJECTED for
+# deployment — held-out gains don't convert to triples and the
+# full-corpus fit dilutes (BASELINE.md r5).  The committed artifact
+# carries no cng table; train(cng_heads=...) reproduces the receipts.
 _GATHER_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
                 "pf3", "sf3", "sf4", "cng", "c0f", "c0c", "cm1c", "cp1c")
 
@@ -212,8 +214,8 @@ def feature_arrays(toks: list, prevs: list, nexts: list,
     }
     if cng:
         # full char-3..6-gram bags (r5): interior subword shape of the
-        # CURRENT token — the transfer channel for unseen proper nouns
-        # / product names whose affixes alone carry no signal
+        # CURRENT token (computed only when a head carries the table —
+        # the committed deployment artifact does not; see BASELINE.md)
         out["cng"] = _char_ngram_bags(low)
     # induced word-class ids (PPMI-SVD clusters, operators/word_classes
     # — the Domain-Word2vec substitute): the strongest transfer signal;

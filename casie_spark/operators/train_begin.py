@@ -290,6 +290,95 @@ def save_artifact(arrays, path: str | None = None) -> str:
     return p
 
 
+EDGE_AUDIT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "edge_audit.json")
+
+
+def exact_span_audit(spark, tagger_weights=None) -> dict:
+    """Exact-edge span P/R audit (r4 VERDICT next #5): model-tagged
+    mention spans vs gold on (doc, label, begin) AND (doc, label,
+    begin, end) keys, under three repair configurations — none,
+    begin-only, begin+end — so the END head's contribution shows up
+    in its own metric instead of only through Dice.  Writes
+    artifacts/edge_audit.json (gated by tests/test_begin_repair.py)."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import tagged_tokens
+    from ..scoring import span_exact_prf
+    from ..sources.annotations import (
+        gold_arguments,
+        gold_events,
+        load_annotations,
+    )
+    from ..util import materialize
+    from .begin_repair import (
+        arguments_with_context,
+        events_with_context,
+        load_begin_weights,
+        repair_edges,
+    )
+
+    ann = load_annotations(spark).cache()
+    docs = ann.select("doc_id", F.col("content").alias("text"))
+    tagged = materialize(tagged_tokens(docs, id_col="doc_id",
+                                       mode="model", hash_ids=False,
+                                       tagger_weights=tagger_weights))
+    w = load_begin_weights() or {}
+    gold = {
+        "nugget": gold_events(ann).select(
+            "doc_id", F.col("subtype").alias("label"),
+            F.col("nugget_begin").alias("begin"),
+            F.col("nugget_end").alias("end")),
+        "argument": gold_arguments(ann).select(
+            "doc_id", F.col("arg_type").alias("label"), "begin", "end"),
+    }
+    out: dict = {}
+    for head, ctx_fn, bkey, ekey, lab in (
+        ("nugget", events_with_context, "trig", "trig_end", "subtype"),
+        ("argument", arguments_with_context, "arg", "arg_end", "arg_type"),
+    ):
+        out[head] = {}
+        for cfg, bw, ew, guard in (
+            ("none", None, None, False),
+            ("begin", w.get(bkey), None, False),
+            ("begin+end", w.get(bkey), w.get(ekey), False),
+            # the overlap guard (r4 VERDICT next #6) measured head-on
+            ("begin+end+guard", w.get(bkey), w.get(ekey), True),
+        ):
+            spans = repair_edges(ctx_fn(tagged), bw, ew, label_col=lab,
+                                 overlap_guard=guard) \
+                .select("doc_id", F.col(lab).alias("label"), "begin", "end")
+            out[head][cfg] = {
+                "begin_only": span_exact_prf(spans, gold[head],
+                                             with_end=False),
+                "begin_end": span_exact_prf(spans, gold[head],
+                                            with_end=True),
+            }
+            b, be = out[head][cfg]["begin_only"], out[head][cfg]["begin_end"]
+            print(f"{head:8s} {cfg:10s} begin-only P {b['precision']:.3f} "
+                  f"R {b['recall']:.3f} F1 {b['f1']:.3f} | (begin,end) "
+                  f"P {be['precision']:.3f} R {be['recall']:.3f} "
+                  f"F1 {be['f1']:.3f}")
+    tagged.unpersist()
+    ann.unpersist()
+    return out
+
+
+def audit_main() -> None:  # pragma: no cover - CLI entry
+    import json
+
+    from ..session import get_spark
+
+    spark = get_spark("edge-audit", master="local[16]",
+                      shuffle_partitions=16)
+    out = exact_span_audit(spark)
+    with open(EDGE_AUDIT_PATH, "w") as fh:
+        json.dump(out, fh, indent=2, sort_keys=True)
+    print(f"wrote {EDGE_AUDIT_PATH}")
+    spark.stop()
+
+
 def main() -> None:  # pragma: no cover - CLI entry
     from ..session import get_spark
     from .begin_repair import END_SHIFTS, SHIFTS
@@ -338,4 +427,9 @@ def main() -> None:  # pragma: no cover - CLI entry
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--audit" in sys.argv:
+        audit_main()
+    else:
+        main()

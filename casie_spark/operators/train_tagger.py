@@ -302,7 +302,7 @@ def _cross_fit_flags(pdf, f, yt, n_folds: int = 5,
 
 
 def train(pdf, sev: bool = True,
-          cng_heads: tuple = ("trig",)) -> dict[str, np.ndarray]:
+          cng_heads: tuple = ()) -> dict[str, np.ndarray]:
     """pandas frame from build_training_frame -> artifact arrays.
     ``sev``: train the arg head with the cross-fitted
     sentence-has-predicted-trigger table (see _cross_fit_flags) —
@@ -312,11 +312,15 @@ def train(pdf, sev: bool = True,
     rejected (0.729 -> 0.711 triples) because gold flags mismatch the
     decoded cascade.
     ``cng_heads``: which heads train with the hashed char-3..6-gram
-    bag table ("trig"/"arg").  Default trigger-only — the r5 fixed-λ
-    probe (BASELINE.md) measured held-out nugget F1 0.466 -> 0.484
-    (recall +4.8 pt at equal precision) for trigger-only; on the
-    argument head the same bag moved arg F1 only +0.007 alone and
-    dragged nugget back down when combined — kept where it pays."""
+    bag table ("trig"/"arg").  Default OFF — the r5 measurement
+    (BASELINE.md) rejected every configuration: trigger-only lifts
+    held-out nugget F1 0.466 -> 0.488 but drags held-out triples
+    0.179 -> 0.167 through the arg cascade; both-heads is flat on
+    triples (0.1785) and DILUTES the full-corpus fit exactly like the
+    rejected word-dropout/word-class experiments (nugget Dice 0.802 ->
+    0.764, arg 0.843 -> 0.804, triples 0.748 -> 0.676 after a full
+    downstream retrain).  The flag stays for reproduction of the
+    receipts."""
     toks = pdf["token"].astype(str).tolist()
     prevs = pdf["prev"].tolist()
     nexts = pdf["next"].tolist()
@@ -517,7 +521,7 @@ def doc_fold(doc_id: str, n_folds: int = N_FOLDS) -> int:
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n_folds
 
 
-def holdout_main(cng_heads: tuple = ("trig",),
+def holdout_main(cng_heads: tuple = (),
                  out_path: str | None = None) -> None:  # pragma: no cover - CLI entry
     """Held-out evaluation (r2 VERDICT missing #3): train on folds
     1..4 (~80% of documents), select λ on the TRAIN docs only, score
@@ -666,7 +670,7 @@ if __name__ == "__main__":
     import sys
 
     cng = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--cng=")]
-    heads = tuple(h for h in (cng[0].split(",") if cng else ["trig"]) if h)
+    heads = tuple(h for h in (cng[0].split(",") if cng else []) if h)
     if "--holdout" in sys.argv:
         outp = [a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--out=")]

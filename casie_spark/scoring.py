@@ -98,6 +98,35 @@ def mention_dice_f1(pred_spans: DataFrame, gold_spans: DataFrame) -> dict:
             "precision": precision, "recall": recall, "f1": f1}
 
 
+def span_exact_prf(pred_spans: DataFrame, gold_spans: DataFrame,
+                   with_end: bool = True) -> dict:
+    """Exact-edge span P/R/F1 (r4 VERDICT next #5 — the end-edge
+    audit): set comparison of (doc_id, label, begin[, end]) keys.
+    ``with_end=False`` scores the begin-only key the triple gate uses;
+    the delta between the two is exactly the right-edge error the
+    Dice scorer smooths over."""
+    keys = ["doc_id", "label", "k_begin"] + (["k_end"] if with_end else [])
+
+    def _k(df):
+        cols = [
+            "doc_id", "label",
+            F.col("begin").cast("long").alias("k_begin"),
+        ]
+        if with_end:
+            cols.append(F.col("end").cast("long").alias("k_end"))
+        return df.select(*cols).distinct()
+
+    p, g = _k(pred_spans), _k(gold_spans)
+    np_, ng = p.count(), g.count()
+    tp = p.join(g, keys, "inner").count()
+    precision = tp / np_ if np_ else 0.0
+    recall = tp / ng if ng else 0.0
+    f1 = (2 * precision * recall / (precision + recall)) \
+        if precision + recall else 0.0
+    return {"tp": tp, "n_pred": np_, "n_gold": ng,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
 def bag_intersect(words1: list[str], words2: list[str]) -> int:
     """F15 exact: the reference's ``intersect`` multiset overlap
     (score.py:72-103) — scan the longer list, removing each matched

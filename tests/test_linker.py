@@ -167,3 +167,38 @@ def test_link_trained_falls_back_without_artifact(toy, tmp_path):
     want = link(ev, ar, tagged)
     assert sorted(map(tuple, got.select(*want.columns).collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_jvm_scorer_parity(toy):
+    """with_score_jvm (pure-JVM link scoring: column math + broadcast
+    weight joins, r5) must agree with the numpy score_rows kernel the
+    artifact was trained against — |Δ| ≤ 1e-9 on every candidate and
+    identical argmax picks."""
+    import pandas as pd
+
+    from casie_spark.operators.linker import (
+        load_linker_weights,
+        score_rows,
+        with_score_jvm,
+    )
+
+    tagged, ev, ar = toy
+    w = load_linker_weights()
+    assert w is not None
+    cand = candidate_frame(ev, ar, tagged)
+    got = with_score_jvm(cand, w).select(
+        "arg_id", "event_id", "link_score", "pair_idx", "l1", "l2",
+        "d", "absd", "same_sent", "nearest", "first_ev", "n_cand",
+        "commas", "trigs", "sentgap").toPandas()
+    want = score_rows(got, *w)
+    diff = np.abs(got["link_score"].to_numpy() - want)
+    assert diff.max() <= 1e-9, diff.max()
+    # identical per-argument winner under both scorers
+    got["_py"] = want
+    for _arg, sub in got.groupby("arg_id"):
+        jvm_pick = sub.sort_values(
+            ["link_score", "event_id"], ascending=[False, True]
+        )["event_id"].iloc[0]
+        py_pick = sub.sort_values(
+            ["_py", "event_id"], ascending=[False, True])["event_id"].iloc[0]
+        assert jvm_pick == py_pick

@@ -22,16 +22,19 @@ def test_artifact_present_and_well_formed():
     assert w.trig_ctx is not None, "trained artifact missing"
     # r4 key sets (train_tagger.train): the trigger head carries the
     # lexical/shape/affix gather set; word-class tables are excluded
-    # from BOTH heads (measured capacity dilution) and the argument
-    # head additionally omits the affixes but carries the decode-time
-    # "sev" table (cross-fitted predicted sentence flags)
-    classes = {"c0f", "c0c", "cm1c", "cp1c"}
-    for k in (set(_CTX_KEYS) - {"sev"} - classes):
+    # from BOTH heads (measured capacity dilution, r4), the r5 char
+    # n-gram bag likewise (measured dilution, BASELINE.md r5), and the
+    # argument head additionally omits the affixes but carries the
+    # decode-time "sev" table (cross-fitted predicted sentence flags)
+    rejected = {"c0f", "c0c", "cm1c", "cp1c", "cng"}
+    for k in (set(_CTX_KEYS) - {"sev"} - rejected):
         assert k in w.trig_ctx, k
         assert np.isfinite(w.trig_ctx[k]).all()
-    for k in (set(_CTX_KEYS) - {"pf3", "sf3", "sf4"} - classes):
+    for k in (set(_CTX_KEYS) - {"pf3", "sf3", "sf4"} - rejected):
         assert k in w.arg_ctx, k
         assert np.isfinite(w.arg_ctx[k]).all()
+    # the rejected features must NOT be in the deployed artifact
+    assert not (rejected & set(w.trig_ctx)) and not (rejected & set(w.arg_ctx))
     assert w.arg_ctx["sev"].shape[0] == 2
     assert w.trigger_labels[0] == "O" and w.arg_labels[0] == "O"
     assert len(w.arg_labels) == 22  # full gold argument inventory
