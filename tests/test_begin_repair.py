@@ -217,3 +217,34 @@ def test_featurizer_deterministic_and_null_safe():
     for k in f1:
         assert (f1[k] == f2[k]).all()
         assert f1[k].dtype == np.int64
+
+
+def test_edge_audit_recorded_and_floored():
+    """Exact-edge audit artifact (r4 VERDICT next #5/#6 — regenerate
+    with `python -m casie_spark.operators.train_begin --audit`):
+    begin repair must lift exact-begin span F1, the END head must lift
+    exact-(begin,end) F1 on BOTH heads, and the measured receipt for
+    the overlap guard (slightly negative everywhere: nugget (b,e)
+    0.789 -> 0.783, argument 0.796 -> 0.785) is pinned so the
+    unguarded default stays an evidence-backed choice."""
+    import json
+
+    from casie_spark.operators.train_begin import EDGE_AUDIT_PATH
+
+    with open(EDGE_AUDIT_PATH) as fh:
+        audit = json.load(fh)
+    for head in ("nugget", "argument"):
+        cfgs = audit[head]
+        assert set(cfgs) == {"none", "begin", "begin+end",
+                             "begin+end+guard"}
+        # begin repair pays on the exact-begin key (measured +0.038)
+        assert cfgs["begin"]["begin_only"]["f1"] >= \
+            cfgs["none"]["begin_only"]["f1"] + 0.02
+        # the end head pays on the exact-(begin,end) key
+        assert cfgs["begin+end"]["begin_end"]["f1"] >= \
+            cfgs["begin"]["begin_end"]["f1"] + 0.01
+        # floors with margin (measured nugget 0.789 / argument 0.796)
+        assert cfgs["begin+end"]["begin_end"]["f1"] >= 0.76
+        # overlap-guard receipt: measured no-better-than unguarded
+        assert cfgs["begin+end+guard"]["begin_end"]["f1"] <= \
+            cfgs["begin+end"]["begin_end"]["f1"] + 0.005
