@@ -7,9 +7,12 @@ trains on the gold BIO tags directly); the averaged-perceptron
 substitute under-includes it, costing ~9 points of exact-begin recall
 while the span itself is found (see train_begin.py for the measured
 decomposition).  This stage recovers the edge with a trained 4-class
-shift head over surface context — the Spark-side contract is one
-pandas_udf over the EVENT/ARG-scale args frame (no token-stream work
-beyond two lag/lead windows that ride the existing doc_id exchange).
+shift head over surface context on the EVENT/ARG-scale args frame:
+feature ids are JVM crc32/shape expressions (no strings reach Python,
+no Python hashing), one slim pandas_udf per span frame turns the int
+ids into shifts, and all edits are JVM expressions.  No token-stream
+work beyond two lag/lead windows that ride the existing doc_id
+exchange.
 
 Only mode=model pipelines run it; rules/gold modes keep byte parity
 with the model-free reference semantics.
@@ -23,7 +26,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 # token shifts applied to a span's begin, in model class order
 SHIFTS = (-2, -1, 0, 1)
@@ -62,6 +64,146 @@ _END_CARRY = {"_ltok": "token", "_ln1": "_nx", "_ln1b": "_nxb",
 # right-edge heads (distinct prefixes so "arg_*" parsing stays exact)
 _HEAD_KEYS = {"arg": "arg", "trig": "trig",
               "aend": "arg_end", "tend": "trig_end"}
+
+
+# ---------------------------------------------------------------------
+# JVM-native shift scoring (r5): the edge heads are linear summed-gather
+# models over crc32-hashed surface ids — exactly the shape the linker's
+# r4 JVM rewrite handled.  Feature ids become crc32 expressions
+# (zlib.crc32 == java.util.zip.CRC32, bit-parity-probed incl. unicode),
+# and ONE slim pandas_udf per span frame turns the int ids into the
+# shifts (numpy gathers + argmax; no strings cross the Arrow boundary,
+# no Python hashing).  Pure-JVM scoring was built and measured twice
+# and lost both times — see _with_shifts_jvm's docstring for the
+# receipts.  Differential parity vs the Python featurizer + float64
+# _logits is gated in test_begin_repair.
+# ---------------------------------------------------------------------
+
+def _hid_col(prefix: str, *cols):
+    """JVM twin of train_begin._h: token_id('\\x1f'.join(parts)) with
+    None -> '' (begin_features' s() normalization)."""
+    from .model_tagger import VOCAB_SIZE
+
+    parts = [F.lit(prefix)] + [F.coalesce(c, F.lit("")) for c in cols]
+    return F.lit(2) + F.pmod(
+        F.crc32(F.encode(F.lower(F.concat_ws("\x1f", *parts)), "UTF-8")),
+        F.lit(VOCAB_SIZE - 2))
+
+
+def shape_id_col(c):
+    """JVM twin of model_tagger.shape_id (10-class word shape);
+    bit-parity-tested against the Python form in test_begin_repair."""
+    tok = F.coalesce(c, F.lit(""))
+    has_digit = tok.rlike(r"\p{Nd}")
+    first = F.substring(tok, 1, 1)
+
+    def cased(s):
+        return F.lower(s) != F.upper(s)
+
+    return (
+        F.when(tok == "", 0)
+        .when(tok.startswith("CVE-"), 9)
+        .when(has_digit & tok.contains("."), 8)
+        .when(tok.rlike(r"^\p{Nd}+$"), 7)
+        .when(has_digit, 6)
+        .when(tok.contains("$"), 5)
+        .when((tok == F.upper(tok)) & cased(tok) & (F.length(tok) > 1), 4)
+        .when((first == F.upper(first)) & cased(first), 3)
+        .when((tok == F.lower(tok)) & cased(tok), 2)
+        .when(~tok.rlike(r"[\p{L}\p{Nd}]"), 1)
+        .otherwise(0)
+    )
+
+
+def _edge_id_cols(label_col: str, t0: str, p1: str, p2: str, nx: str
+                  ) -> dict:
+    """The ten hashed feature-id expressions of begin_features, as JVM
+    columns (keyed like train_begin._KEYS)."""
+    a, t = F.col(label_col), F.col(t0)
+    p1c, p2c, nxc = F.col(p1), F.col(p2), F.col(nx)
+    return {
+        "at": _hid_col("a", a),
+        "t0": _hid_col("t", t),
+        "p1": _hid_col("1", p1c),
+        "p2": _hid_col("2", p2c),
+        "nx": _hid_col("n", nxc),
+        "at_t0": _hid_col("A", a, t),
+        "at_p1": _hid_col("B", a, p1c),
+        "p1_t0": _hid_col("C", p1c, t),
+        "at_p1_t0": _hid_col("D", a, p1c, t),
+        "sh_p1": shape_id_col(p1c),
+    }
+
+
+def _argmax_shift(logits: list, shifts) -> object:
+    """First-max argmax over logit columns -> shift literal (the
+    numpy argmax tiebreak: earlier class wins ties)."""
+    expr = F.lit(int(shifts[-1]))
+    for j in range(len(logits) - 2, -1, -1):
+        cond = None
+        for k in range(j + 1, len(logits)):
+            c = logits[j] >= logits[k]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, int(shifts[j])).otherwise(expr)
+    return expr
+
+
+def _with_shifts_jvm(df: DataFrame, begin_t: dict, end_t: dict | None,
+                     label_col: str, begin_cols: tuple, end_cols: tuple,
+                     b_shifts, e_shifts) -> DataFrame:
+    """Append _shb (and _she when ``end_t``) = predicted edge shifts.
+
+    Hybrid design, each alternative measured (r5): the 10 (or 20)
+    hashed feature ids are JVM crc32/shape expressions — no strings
+    ever reach Python and no Python hashing runs — and ONE slim
+    pandas_udf per span frame turns the int ids into shifts (numpy
+    table gathers + argmax over the broadcast weights, float64 in
+    _KEYS order — bit-identical to train_begin._logits).  The two
+    pure-JVM alternatives lose: one broadcast join per table costs
+    ~20 AQE broadcast stages of scheduling latency (5.0 s vs this
+    design's ~1 s standalone), and stack+single-join+sum-agg pays a
+    span-scale join-back plus a 20x explode (5.2 s).  The id columns
+    are int64 — the Arrow round-trip ships 20 ints per span instead
+    of 9 strings, and the UDF body is pure gathers."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .train_begin import _KEYS
+
+    ids_b = _edge_id_cols(label_col, *begin_cols)
+    id_exprs = [ids_b[k] for k in _KEYS]
+    if end_t is not None:
+        ids_e = _edge_id_cols(label_col, *end_cols)
+        id_exprs += [ids_e[k] for k in _KEYS]
+
+    bc = df.sparkSession.sparkContext.broadcast((begin_t, end_t))
+    fused = end_t is not None
+
+    @pandas_udf("int")
+    def _shift_ids(*id_cols: pd.Series) -> pd.Series:
+        bw, ew = bc.value
+        n = len(id_cols[0])
+        lb = bw["b"].astype(np.float64)[None, :].repeat(n, axis=0)
+        for ki, k in enumerate(_KEYS):
+            lb += bw[k][id_cols[ki].to_numpy()]
+        b_sh = np.asarray(b_shifts, np.int32)[lb.argmax(axis=1)]
+        if not fused:
+            return pd.Series(b_sh)
+        le = ew["b"].astype(np.float64)[None, :].repeat(n, axis=0)
+        for ki, k in enumerate(_KEYS):
+            le += ew[k][id_cols[10 + ki].to_numpy()]
+        e_sh = np.asarray(e_shifts, np.int32)[le.argmax(axis=1)]
+        # pack: (begin_shift + 2) * 8 + (end_shift + 1), both in-range
+        return pd.Series((b_sh + 2) * 8 + (e_sh + 1))
+
+    out = _shift_ids(*id_exprs)
+    if not fused:
+        return df.withColumn("_shb", out)
+    return (
+        df.withColumn("_pk", out)
+        .withColumn("_shb", F.expr("_pk div 8") - 2)
+        .withColumn("_she", F.expr("pmod(_pk, 8)") - 1)
+        .drop("_pk")
+    )
 
 
 def load_begin_weights(path: str | None = None):
@@ -128,8 +270,21 @@ def with_begin_context(tagged: DataFrame,
     return out
 
 
+def _ctx_carry(guard: bool) -> tuple[list[str], dict[str, str]]:
+    """(carry columns, carry_last map) for the span assembly — the
+    same-stream guard tags (_p1g/_p2g and the _lg1/_lg2 carry) only
+    when ``guard`` is True: the overlap guard was measured WORSE on
+    every config (artifacts/edge_audit.json), so the deployed path
+    skips computing the four tag lag/leads entirely."""
+    cols = [c for c in _CTX_COLS[1:] if guard or not c.endswith("g")]
+    last = {k: v for k, v in _END_CARRY.items()
+            if guard or not k.startswith("_lg")}
+    return cols, last
+
+
 def arguments_with_context(tagged: DataFrame,
-                           carry: list[str] | None = None) -> DataFrame:
+                           carry: list[str] | None = None,
+                           guard: bool = False) -> DataFrame:
     """extract_arguments over a context-augmented token stream; the
     span rows carry the first token's text (_tok) and its sentence
     neighbors (_p1/_p1b/_p2/_p2b/_nx/_nxb), plus the last token's
@@ -137,28 +292,33 @@ def arguments_with_context(tagged: DataFrame,
     _nx is the token AFTER the span's first token — i.e. the span's
     own second token when n_tokens > 1, which is exactly the +1-shift
     target; symmetrically _lp1 is the second-to-last token when
-    n_tokens > 1, the end head's -1 target."""
+    n_tokens > 1, the end head's -1 target.  ``guard=True``
+    additionally carries the same-stream tag context the overlap
+    guard reads (the measured-rejected path — audit only)."""
     from .linking import extract_arguments
 
-    ctx = with_begin_context(tagged, tag_col="arg_tag") \
+    cols, last = _ctx_carry(guard)
+    ctx = with_begin_context(tagged,
+                             tag_col="arg_tag" if guard else None) \
         .withColumn("_tok", F.col("token"))
     return extract_arguments(
-        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
-        carry_last=_END_CARRY)
+        ctx, carry=list(carry or []) + ["_tok", *cols], carry_last=last)
 
 
 def events_with_context(tagged: DataFrame,
-                        carry: list[str] | None = None) -> DataFrame:
+                        carry: list[str] | None = None,
+                        guard: bool = False) -> DataFrame:
     """extract_events variant of arguments_with_context — trigger
     spans carry the same neighbor-context columns for the trigger
     shift heads."""
     from .linking import extract_events
 
-    ctx = with_begin_context(tagged, tag_col="trigger_tag") \
+    cols, last = _ctx_carry(guard)
+    ctx = with_begin_context(tagged,
+                             tag_col="trigger_tag" if guard else None) \
         .withColumn("_tok", F.col("token"))
     return extract_events(
-        ctx, carry=list(carry or []) + ["_tok", *_CTX_COLS[1:]],
-        carry_last=_END_CARRY)
+        ctx, carry=list(carry or []) + ["_tok", *cols], carry_last=last)
 
 
 def repair_begins(args: DataFrame, weights,
@@ -185,21 +345,10 @@ def repair_begins(args: DataFrame, weights,
     tests/test_begin_repair.py::test_edge_audit_recorded_and_floored."""
     if weights is None:
         return args.drop(*_CTX_COLS)
-    bc = args.sparkSession.sparkContext.broadcast(weights)
-
-    @pandas_udf("int")
-    def _shift(at: pd.Series, tok: pd.Series, p1: pd.Series,
-               p2: pd.Series, nx: pd.Series) -> pd.Series:
-        from .train_begin import _logits, begin_features
-
-        tables = bc.value
-        f = begin_features(at.tolist(), tok.tolist(), p1.tolist(),
-                           p2.tolist(), nx.tolist())
-        cls = _logits(tables, f).argmax(axis=1)
-        return pd.Series(np.asarray(SHIFTS, np.int32)[cls])
-
-    df = args.withColumn(
-        "_sh", _shift(label_col, "_tok", "_p1", "_p2", "_nx"))
+    df = _with_shifts_jvm(args, weights, None, label_col,
+                          ("_tok", "_p1", "_p2", "_nx"), (),
+                          SHIFTS, None)
+    df = df.withColumnRenamed("_shb", "_sh")
     return _apply_begin(df).drop(*_CTX_COLS)
 
 
@@ -271,21 +420,10 @@ def repair_ends(args: DataFrame, weights,
     edges unchanged."""
     if weights is None:
         return args.drop(*_END_CTX_COLS)
-    bc = args.sparkSession.sparkContext.broadcast(weights)
-
-    @pandas_udf("int")
-    def _shift(at: pd.Series, tok: pd.Series, n1: pd.Series,
-               n2: pd.Series, p1: pd.Series) -> pd.Series:
-        from .train_begin import _logits, begin_features
-
-        tables = bc.value
-        f = begin_features(at.tolist(), tok.tolist(), n1.tolist(),
-                           n2.tolist(), p1.tolist())
-        cls = _logits(tables, f).argmax(axis=1)
-        return pd.Series(np.asarray(END_SHIFTS, np.int32)[cls])
-
-    df = args.withColumn(
-        "_sh", _shift(label_col, "_ltok", "_ln1", "_ln2", "_lp1"))
+    df = _with_shifts_jvm(args, weights, None, label_col,
+                          ("_ltok", "_ln1", "_ln2", "_lp1"), (),
+                          END_SHIFTS, None)
+    df = df.withColumnRenamed("_shb", "_sh")
     return _apply_end(df).drop(*_END_CTX_COLS)
 
 
@@ -345,50 +483,30 @@ def _apply_end(df: DataFrame, shift_col: str = "_sh",
 def repair_edges(args: DataFrame, begin_w, end_w,
                  label_col: str = "arg_type",
                  overlap_guard: bool = False) -> DataFrame:
-    """Fused begin+end repair (r4 VERDICT next #3): ONE pandas_udf
-    launch predicts both edge shifts per span — the end head's
-    features (last-token context columns) are untouched by the begin
-    edit, so both classes can be scored from the same Arrow batch;
-    only the *guards* are order-sensitive and those are JVM
-    expressions applied sequentially (_apply_begin then _apply_end),
-    reproducing repair_begins |> repair_ends bit-for-bit at half the
-    Python-worker round-trips."""
+    """Fused begin+end repair: both edge heads are scored on one frame
+    — the end head's features (last-token context columns) are
+    untouched by the begin edit, so both shifts can be predicted
+    before either edit applies; only the *guards* are order-sensitive
+    and those are applied sequentially (_apply_begin then _apply_end),
+    reproducing repair_begins |> repair_ends bit-for-bit.
+
+    r5: scoring is PURE JVM (_with_shift_jvm — crc32 feature ids +
+    broadcast weight-table joins + when-chain argmax), replacing the
+    r4 fused pandas_udf: the two Python launches were the measured
+    bulk (+2.0 s of +2.75 s) of the repair stage's in-DAG cost, and
+    the span frame now never leaves Tungsten between assembly and the
+    candidate join.  Bit-identical to the Python scorer
+    (test_begin_repair differential gate)."""
     if begin_w is None and end_w is None:
         return args.drop(*_CTX_COLS, *_END_CTX_COLS)
     if end_w is None:
         return repair_begins(args, begin_w, label_col).drop(*_END_CTX_COLS)
     if begin_w is None:
         return repair_ends(args.drop(*_CTX_COLS), end_w, label_col)
-    bc = args.sparkSession.sparkContext.broadcast((begin_w, end_w))
-
-    @pandas_udf("int")
-    def _shift2(at: pd.Series, tok: pd.Series, p1: pd.Series,
-                p2: pd.Series, nx: pd.Series, ltok: pd.Series,
-                ln1: pd.Series, ln2: pd.Series, lp1: pd.Series
-                ) -> pd.Series:
-        from .train_begin import _logits, begin_features
-
-        bw, ew = bc.value
-        atl = at.tolist()
-        fb = begin_features(atl, tok.tolist(), p1.tolist(),
-                            p2.tolist(), nx.tolist())
-        b_cls = _logits(bw, fb).argmax(axis=1)
-        fe = begin_features(atl, ltok.tolist(), ln1.tolist(),
-                            ln2.tolist(), lp1.tolist())
-        e_cls = _logits(ew, fe).argmax(axis=1)
-        b_sh = np.asarray(SHIFTS, np.int32)[b_cls]
-        e_sh = np.asarray(END_SHIFTS, np.int32)[e_cls]
-        # pack: (begin_shift + 2) * 8 + (end_shift + 1), both in-range
-        return pd.Series((b_sh + 2) * 8 + (e_sh + 1))
-
-    df = args.withColumn(
-        "_pk", _shift2(label_col, "_tok", "_p1", "_p2", "_nx",
-                       "_ltok", "_ln1", "_ln2", "_lp1"))
-    df = (
-        df.withColumn("_shb", F.expr("_pk div 8") - 2)
-        .withColumn("_she", F.expr("pmod(_pk, 8)") - 1)
-        .drop("_pk")
-    )
+    df = _with_shifts_jvm(args, begin_w, end_w, label_col,
+                          ("_tok", "_p1", "_p2", "_nx"),
+                          ("_ltok", "_ln1", "_ln2", "_lp1"),
+                          SHIFTS, END_SHIFTS)
     df = _apply_begin(df, "_shb", overlap_guard=overlap_guard) \
         .drop(*_CTX_COLS)
     return _apply_end(df, "_she", overlap_guard=overlap_guard) \

@@ -42,6 +42,7 @@ Two weight providers:
 from __future__ import annotations
 
 import os
+import unicodedata
 import zlib
 from dataclasses import dataclass, field
 
@@ -93,6 +94,7 @@ _CTX_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
 # deployment — held-out gains don't convert to triples and the
 # full-corpus fit dilutes (BASELINE.md r5).  The committed artifact
 # carries no cng table; train(cng_heads=...) reproduces the receipts.
+_WC_KEYS = ("c0f", "c0c", "cm1c", "cp1c")
 _GATHER_KEYS = ("t0", "s0", "tm1", "tp1", "sh", "b1", "b2", "tri",
                 "pf3", "sf3", "sf4", "cng", "c0f", "c0c", "cm1c", "cp1c")
 
@@ -104,27 +106,37 @@ def token_id(tok: str) -> int:
 
 
 def shape_id(tok: str) -> int:
-    """Closed word-shape feature (F10's one-hot analog): 10 classes."""
+    """Closed word-shape feature (F10's one-hot analog): 10 classes.
+
+    Defined in JVM-expressible terms (Unicode Nd for digits,
+    upper()/lower() comparisons for case, L/Nd for alphanumeric) so
+    begin_repair.shape_id_col is a bit-exact twin — verified a no-op
+    vs the earlier str.isdigit()/isupper() form on every unique token
+    of the gold corpus (21,542) and the synthetic bench corpus, so the
+    committed artifacts trained against the old form stay valid."""
     if not tok:
         return 0
     if tok.startswith("CVE-"):
         return 9
-    has_digit = any(c.isdigit() for c in tok)
+    cats = [unicodedata.category(c) for c in tok]
+    has_digit = "Nd" in cats
     if has_digit and "." in tok:
         return 8  # version-shaped
-    if tok.isdigit():
+    if has_digit and all(c == "Nd" for c in cats):
         return 7
     if has_digit:
         return 6
     if "$" in tok:
         return 5
-    if tok.isupper() and len(tok) > 1:
+    up, lo = tok.upper(), tok.lower()
+    if tok == up and tok != lo and len(tok) > 1:
         return 4
-    if tok[0].isupper():
+    f = tok[0]
+    if f == f.upper() and f != f.lower():
         return 3
-    if tok.islower():
+    if tok == lo and tok != up:
         return 2
-    if not any(c.isalnum() for c in tok):
+    if not any(c == "Nd" or c[0] == "L" for c in cats):
         return 1
     return 0
 
@@ -166,14 +178,24 @@ def _char_ngram_bags(low: list[str]) -> np.ndarray:
 
 
 def feature_arrays(toks: list, prevs: list, nexts: list,
-                   cng: bool = True) -> dict[str, np.ndarray]:
+                   cng: bool = True, wc: bool = True
+                   ) -> dict[str, np.ndarray]:
     """Shared train/inference featurizer: hashed ids for the current
     token (raw + stem), its sentence neighbors (PAD at boundaries),
     its shape class, and the hashed bigrams/trigram around it (the
     memorization features — a linear sum over unigram tables cannot
     represent context-dependent labels; the n-gram rows can).  One
     dict of int64 arrays per batch.  ``cng=False`` skips the char
-    n-gram bag matrix (callers whose heads carry no cng table)."""
+    n-gram bag matrix, ``wc=False`` the word-class ids (callers whose
+    heads carry no such table — the committed deployment artifacts
+    carry neither; both features were measured-rejected, BASELINE.md).
+
+    All per-token hashes are computed once per UNIQUE surface and
+    scattered back (r5 decode profile: featurization was 91% of the
+    inference UDF, and the token stream is Zipfian — the unique set
+    runs 5-20x smaller than the batch).  Values are bit-identical to
+    the per-token form; tests/test_properties.py compares against the
+    naive reference featurizer."""
     from .tagging import _py_stem
 
     n = len(toks)
@@ -186,15 +208,25 @@ def feature_arrays(toks: list, prevs: list, nexts: list,
     plo = [norm(t) for t in prevs]
     nlo = [norm(t) for t in nexts]
 
-    def ids(seq, fn):
-        return np.fromiter((fn(t) for t in seq), dtype=np.int64, count=n)
+    # one unique table over current+prev+next surfaces (prev/next are
+    # shifted copies of the current stream plus '' at boundaries, so
+    # the union costs nothing extra) — every per-token hash below runs
+    # at unique scale and gathers back through the inverse index
+    allv = np.asarray(low + plo + nlo, dtype=object)
+    uniq, inv = np.unique(allv, return_inverse=True)
+    ilow, iprev, inext = inv[:n], inv[n:2 * n], inv[2 * n:]
+    m = len(uniq)
 
+    def uids(fn):
+        return np.fromiter((fn(t) for t in uniq), dtype=np.int64, count=m)
+
+    tid_u = uids(token_id)                      # plain id ('' hashes too)
+    pad_u = uids(lambda t: PAD_ID if not t else token_id(t))
     out = {
-        "t0": ids(low, token_id),
-        "s0": ids(low, lambda t: token_id(_py_stem(t))),
-        "tm1": ids(plo, lambda t: PAD_ID if not t else token_id(t)),
-        "tp1": ids(nlo, lambda t: PAD_ID if not t else token_id(t)),
-        "sh": ids(toks, lambda t: shape_id(str(t))),
+        "t0": tid_u[ilow],
+        "s0": uids(lambda t: token_id(_py_stem(t)))[ilow],
+        "tm1": pad_u[iprev],
+        "tp1": pad_u[inext],
         "b1": np.fromiter(
             (_ngram_id(p + "|" + c, BIGRAM_SIZE) for p, c in zip(plo, low)),
             dtype=np.int64, count=n),
@@ -208,28 +240,38 @@ def feature_arrays(toks: list, prevs: list, nexts: list,
         # hashed affixes: generalization features — a token never
         # seen in training still shares its suffix/prefix rows with
         # seen vocabulary ("-ility", "-ware", "-tion", "un-")
-        "pf3": ids(low, lambda t: PAD_ID if not t else token_id("\x02" + t[:3])),
-        "sf3": ids(low, lambda t: PAD_ID if not t else token_id("\x03" + t[-3:])),
-        "sf4": ids(low, lambda t: PAD_ID if not t else token_id("\x04" + t[-4:])),
+        "pf3": uids(lambda t: PAD_ID if not t
+                    else token_id("\x02" + t[:3]))[ilow],
+        "sf3": uids(lambda t: PAD_ID if not t
+                    else token_id("\x03" + t[-3:]))[ilow],
+        "sf4": uids(lambda t: PAD_ID if not t
+                    else token_id("\x04" + t[-4:]))[ilow],
     }
+    # shape is case-sensitive — its own (smaller) unique pass
+    shu, shinv = np.unique(np.asarray([str(t) for t in toks],
+                                      dtype=object), return_inverse=True)
+    out["sh"] = np.fromiter((shape_id(t) for t in shu), dtype=np.int64,
+                            count=len(shu))[shinv]
     if cng:
         # full char-3..6-gram bags (r5): interior subword shape of the
         # CURRENT token (computed only when a head carries the table —
         # the committed deployment artifact does not; see BASELINE.md)
         out["cng"] = _char_ngram_bags(low)
-    # induced word-class ids (PPMI-SVD clusters, operators/word_classes
-    # — the Domain-Word2vec substitute): the strongest transfer signal;
-    # an unseen token shares its class row with distributionally
-    # similar seen vocabulary.  Keys are added only when the artifact
-    # exists; heads trained without them simply skip the gathers.
-    from .word_classes import load_word_classes
+    if wc:
+        # induced word-class ids (PPMI-SVD clusters,
+        # operators/word_classes — the Domain-Word2vec substitute).
+        # Keys are added only when the artifact exists; heads trained
+        # without them simply skip the gathers — and inference callers
+        # whose heads carry no wc table pass wc=False so the (dict
+        # lookup per token) id pass is skipped entirely.
+        from .word_classes import load_word_classes
 
-    wc = load_word_classes()
-    if wc is not None:
-        out["c0f"] = wc.class_ids(low, coarse=False)
-        out["c0c"] = wc.class_ids(low, coarse=True)
-        out["cm1c"] = wc.class_ids(plo, coarse=True)
-        out["cp1c"] = wc.class_ids(nlo, coarse=True)
+        wcm = load_word_classes()
+        if wcm is not None:
+            out["c0f"] = wcm.class_ids(low, coarse=False)
+            out["c0c"] = wcm.class_ids(low, coarse=True)
+            out["cm1c"] = wcm.class_ids(plo, coarse=True)
+            out["cp1c"] = wcm.class_ids(nlo, coarse=True)
     return out
 
 
@@ -261,11 +303,16 @@ class TaggerWeights:
         return any(ctx is not None and "cng" in ctx
                    for ctx in (self.trig_ctx, self.arg_ctx))
 
+    def _needs_wc(self) -> bool:
+        return any(ctx is not None and any(k in ctx for k in _WC_KEYS)
+                   for ctx in (self.trig_ctx, self.arg_ctx))
+
     def score(self, toks: list, prevs: list, nexts: list
               ) -> tuple[np.ndarray, np.ndarray]:
         """Batch -> (trigger label indices, arg label indices) by
         per-token argmax (no sequence structure)."""
-        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng())
+        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng(),
+                           wc=self._needs_wc())
         trig_logits, arg_logits = self._logits(f)
         return trig_logits.argmax(axis=1), arg_logits.argmax(axis=1)
 
@@ -283,7 +330,8 @@ class TaggerWeights:
         batch — no extra pass over the data.  The table is trained on
         PREDICTED flags from fold-wise cross-decoding
         (train_tagger._cross_fit_flags), matching this cascade."""
-        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng())
+        f = feature_arrays(toks, prevs, nexts, cng=self._needs_cng(),
+                           wc=self._needs_wc())
         trig_logits, arg_logits = self._logits(f)
 
         def _path(logits, tr):

@@ -84,7 +84,11 @@ def begin_features(arg_types: list, toks: list, p1s: list, p2s: list,
 
 def _logits(tables: dict[str, np.ndarray], f: dict[str, np.ndarray]
             ) -> np.ndarray:
-    out = tables["b"][None, :].astype(np.float32).repeat(
+    # float64 accumulation in _KEYS order: float32 table rows upcast
+    # exactly, and left-to-right float64 addition is what the JVM
+    # scorer (begin_repair._score_edges_jvm) computes — the two paths
+    # are bit-identical, incl. argmax ties (test_begin_repair parity)
+    out = tables["b"][None, :].astype(np.float64).repeat(
         len(f["t0"]), axis=0)
     for k in _KEYS:
         out += tables[k][f[k]]
@@ -346,8 +350,8 @@ def exact_span_audit(spark, tagger_weights=None) -> dict:
             # the overlap guard (r4 VERDICT next #6) measured head-on
             ("begin+end+guard", w.get(bkey), w.get(ekey), True),
         ):
-            spans = repair_edges(ctx_fn(tagged), bw, ew, label_col=lab,
-                                 overlap_guard=guard) \
+            spans = repair_edges(ctx_fn(tagged, guard=guard), bw, ew,
+                                 label_col=lab, overlap_guard=guard) \
                 .select("doc_id", F.col(lab).alias("label"), "begin", "end")
             out[head][cfg] = {
                 "begin_only": span_exact_prf(spans, gold[head],

@@ -71,16 +71,24 @@ def test_keep_class_is_identity(spark, tagged):
     assert got[34]["n_tokens"] == 2
     # begin-context columns dropped; end-context columns survive for
     # the subsequent repair_ends stage, which drops them (even when
-    # its weights are None)
+    # its weights are None).  The deployed (guard=False) frame skips
+    # the same-stream guard tags entirely — the overlap guard measured
+    # worse everywhere (artifacts/edge_audit.json), so its four token-
+    # stream lag/leads and two carry_last aggregates are not computed;
+    # guard=True (the audit path) still carries the full set.
     from casie_spark.operators.begin_repair import (
         _END_CTX_COLS,
         repair_ends,
     )
 
     leftover = [c for c in out.columns if c.startswith("_")]
-    assert sorted(leftover) == sorted(_END_CTX_COLS)
+    assert sorted(leftover) == sorted(
+        c for c in _END_CTX_COLS if not c.startswith("_lg"))
     done = repair_ends(out, None)
     assert not [c for c in done.columns if c.startswith("_")]
+
+    guarded = arguments_with_context(tagged, guard=True)
+    assert {"_p1g", "_p2g", "_lg1", "_lg2"} <= set(guarded.columns)
 
 
 def test_shift_minus1_applies_and_guards(spark, tagged):
@@ -134,7 +142,8 @@ def test_none_weights_passthrough(spark, tagged):
     # begin-context columns dropped; end-context columns remain for
     # repair_ends, which drops them even with None weights
     leftover = [c for c in out.columns if c.startswith("_")]
-    assert sorted(leftover) == sorted(_END_CTX_COLS)
+    assert sorted(leftover) == sorted(
+        c for c in _END_CTX_COLS if not c.startswith("_lg"))
     done = repair_ends(out, None)
     assert not [c for c in done.columns if c.startswith("_")]
     got2 = spans_by_begin(done)
@@ -248,3 +257,87 @@ def test_edge_audit_recorded_and_floored():
         # overlap-guard receipt: measured no-better-than unguarded
         assert cfgs["begin+end+guard"]["begin_end"]["f1"] <= \
             cfgs["begin+end"]["begin_end"]["f1"] + 0.005
+
+
+def test_jvm_scorer_parity_with_python_logits(spark):
+    """The JVM shift scorer (crc32 ids + broadcast weight joins +
+    when-chain argmax) is bit-identical to the Python featurizer +
+    float64 _logits + np.argmax on the COMMITTED artifact — including
+    null neighbors, unicode, and tie-prone near-zero rows."""
+    import numpy as np
+
+    from casie_spark.operators.begin_repair import (
+        END_SHIFTS,
+        _with_shifts_jvm,
+        load_begin_weights,
+    )
+    from casie_spark.operators.train_begin import _logits, begin_features
+
+    w = load_begin_weights()
+    if w is None:
+        pytest.skip("no begin artifact")
+
+    rows = [
+        ("System", "the", None, None, "server", "server", ".", None, "the"),
+        ("Vulnerability", "flaw", "critical", "a", "was", "flaw",
+         "was", "patched", "critical"),
+        ("Person", "Users", "Müller", "Dr.", "of", "Users", "of",
+         "Windows", "Müller"),
+        ("Money", "$4", "than", "more", "million", "million", "in",
+         "ransom", "$4"),
+        ("CVE", "CVE-2021-1234", "(", "bug", ")", "CVE-2021-1234",
+         ")", None, "("),
+        ("Time", "Tuesday", None, None, None, "Tuesday", None, None, None),
+        ("Data", "records", "10,000", "about", "were", "records",
+         "were", "stolen", "10,000"),
+    ]
+    cols = ["arg_type", "_tok", "_p1", "_p2", "_nx",
+            "_ltok", "_ln1", "_ln2", "_lp1"]
+    rows = [(1, i) + r for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, first_token_id int, "
+        + ", ".join(f"{c} string" for c in cols))
+    got = (
+        _with_shifts_jvm(df, w["arg"], w["arg_end"], "arg_type",
+                         ("_tok", "_p1", "_p2", "_nx"),
+                         ("_ltok", "_ln1", "_ln2", "_lp1"),
+                         (-2, -1, 0, 1), END_SHIFTS)
+        .select(*cols, "_shb", "_she").collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        fb = begin_features([r["arg_type"]], [r["_tok"]], [r["_p1"]],
+                            [r["_p2"]], [r["_nx"]])
+        exp_b = (-2, -1, 0, 1)[int(_logits(w["arg"], fb).argmax(axis=1)[0])]
+        fe = begin_features([r["arg_type"]], [r["_ltok"]], [r["_ln1"]],
+                            [r["_ln2"]], [r["_lp1"]])
+        exp_e = END_SHIFTS[int(_logits(w["arg_end"], fe).argmax(axis=1)[0])]
+        assert r["_shb"] == exp_b, r
+        assert r["_she"] == exp_e, r
+
+
+def test_jvm_hash_and_shape_twins(spark):
+    """_hid_col == train_begin._h and shape_id_col == shape_id on a
+    unicode/punctuation-heavy sample — the crc32 and shape JVM twins
+    the scorer relies on."""
+    from pyspark.sql import functions as F2
+
+    from casie_spark.operators.begin_repair import _hid_col, shape_id_col
+    from casie_spark.operators.model_tagger import shape_id
+    from casie_spark.operators.train_begin import _h
+
+    toks = ["The", "stole", "$4", "CVE-2021-1234", "", "patch-2.3.1",
+            "Füße", "ABC", "a", ".", "42", "x2", "3.1", "U.S.", "don't",
+            "iPhone", "²", "é", "ＡＢ", "--", "A1", "10,000"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    out = df.select(
+        "tok",
+        _hid_col("a", F2.col("tok")).alias("hid"),
+        _hid_col("D", F2.col("tok"), F2.col("tok"),
+                 F2.col("tok")).alias("hid3"),
+        shape_id_col(F2.col("tok")).alias("sh"),
+    ).collect()
+    for r in out:
+        assert r["hid"] == _h("a", r["tok"]), r["tok"]
+        assert r["hid3"] == _h("D", r["tok"], r["tok"], r["tok"]), r["tok"]
+        assert r["sh"] == shape_id(r["tok"]), r["tok"]

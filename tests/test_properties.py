@@ -163,3 +163,58 @@ def test_singular_noun_total(w):
             "media", "data", "indices", "matrices", "vertices",
             "appendices", "criteria", "phenomena"):
         assert len(out) <= len(w)
+
+
+_TOKEN_ST = st.one_of(
+    st.none(),
+    st.text(max_size=8),
+    st.sampled_from(["the", "The", "THE", "CVE-2021-1234", "$4",
+                     "patch-2.3.1", "stole", ""]),
+)
+
+
+@given(st.lists(_TOKEN_ST, min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_feature_arrays_unique_scatter_parity(toks):
+    """The unique-scatter featurizer (r5 decode optimization) is
+    bit-identical to the per-token naive form for every key — the
+    inference weights were trained against these exact ids."""
+    import pandas as pd
+
+    from casie_spark.operators.model_tagger import (
+        BIGRAM_SIZE, PAD_ID, TRIGRAM_SIZE, _ngram_id, feature_arrays,
+        shape_id, token_id)
+    from casie_spark.operators.tagging import _py_stem
+
+    prevs = [None] + toks[:-1]
+    nexts = toks[1:] + [None]
+    f = feature_arrays(toks, prevs, nexts, cng=False, wc=False)
+
+    def norm(t):
+        return "" if t is None or (
+            isinstance(t, float) and pd.isna(t)) else str(t).lower()
+
+    low = [norm(t) for t in toks]
+    plo = [norm(t) for t in prevs]
+    nlo = [norm(t) for t in nexts]
+    ref = {
+        "t0": [token_id(t) for t in low],
+        "s0": [token_id(_py_stem(t)) for t in low],
+        "tm1": [PAD_ID if not t else token_id(t) for t in plo],
+        "tp1": [PAD_ID if not t else token_id(t) for t in nlo],
+        "sh": [shape_id(str(t)) for t in toks],
+        "b1": [_ngram_id(p + "|" + c, BIGRAM_SIZE)
+               for p, c in zip(plo, low)],
+        "b2": [_ngram_id(c + "|" + x, BIGRAM_SIZE)
+               for c, x in zip(low, nlo)],
+        "tri": [_ngram_id(p + "|" + c + "|" + x, TRIGRAM_SIZE)
+                for p, c, x in zip(plo, low, nlo)],
+        "pf3": [PAD_ID if not t else token_id("\x02" + t[:3])
+                for t in low],
+        "sf3": [PAD_ID if not t else token_id("\x03" + t[-3:])
+                for t in low],
+        "sf4": [PAD_ID if not t else token_id("\x04" + t[-4:])
+                for t in low],
+    }
+    for k, v in ref.items():
+        assert list(f[k]) == v, k
