@@ -92,13 +92,15 @@ def main() -> None:
     docs.count()
     run_pipeline(docs.limit(200), mode="rules").count()
     run_pipeline(docs.limit(200), mode="model").count()
-    # best-of-3 rules / best-of-2 model, INTERLEAVED (rules, model,
-    # rules, model, rules) for the same reason as the query sweeps:
-    # the VM's throttle windows outlast three consecutive ~25 s trials
-    # of one mode, but rarely a spread of five
+    # best-of-3 BOTH modes, INTERLEAVED (rules, model, ...) for the
+    # same reason as the query sweeps: the VM's throttle windows
+    # outlast three consecutive ~25 s trials of one mode, but rarely a
+    # spread of six.  (r5: model had best-of-2 and twice recorded a
+    # throttled pair — 90.1/45.8 s on code whose interleaved A/B ratio
+    # was 1.29x rules — so both modes now get equal sampling.)
     pipe_trials: dict[str, list[float]] = {"rules": [], "model": []}
     n_triples = n_triples_m = 0
-    for mode in ("rules", "model", "rules", "model", "rules"):
+    for mode in ("rules", "model", "rules", "model", "rules", "model"):
         t0 = time.perf_counter()
         n = run_pipeline(docs, mode=mode).count()
         pipe_trials[mode].append(round(time.perf_counter() - t0, 3))
