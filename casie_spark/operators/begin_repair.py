@@ -490,13 +490,12 @@ def repair_edges(args: DataFrame, begin_w, end_w,
     and those are applied sequentially (_apply_begin then _apply_end),
     reproducing repair_begins |> repair_ends bit-for-bit.
 
-    r5: scoring is PURE JVM (_with_shift_jvm — crc32 feature ids +
-    broadcast weight-table joins + when-chain argmax), replacing the
-    r4 fused pandas_udf: the two Python launches were the measured
-    bulk (+2.0 s of +2.75 s) of the repair stage's in-DAG cost, and
-    the span frame now never leaves Tungsten between assembly and the
-    candidate join.  Bit-identical to the Python scorer
-    (test_begin_repair differential gate)."""
+    r5: feature hashing is JVM-side (_with_shifts_jvm — crc32/shape
+    id expressions), and one slim int-only pandas_udf per span frame
+    does the table gathers + argmax: no strings cross the Arrow
+    boundary and no Python hashing runs.  Bit-identical to the Python
+    scorer (test_begin_repair differential gate; the full-corpus edge
+    audit regenerates artifacts/edge_audit.json byte-for-byte)."""
     if begin_w is None and end_w is None:
         return args.drop(*_CTX_COLS, *_END_CTX_COLS)
     if end_w is None:
