@@ -112,22 +112,50 @@ def lsh_signatures(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
     )
 
 
-def lsh_candidates(sig: DataFrame, query_limit: int, n_tables: int,
+def exploded_signatures(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
+                        dim: int = DEFAULT_DIM,
+                        n_tables: int = DEFAULT_TABLES,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Narrow MATERIALIZED signature index (id, t, b): every table's
+    bucket key in one row-per-(vector, table) frame.
+
+    This is the r5 plan fix for the candidate join: the per-table
+    union form referenced the signature subtree 2·T times, and Spark
+    has no common-subplan reuse — the T·P hyperplane folds re-ran per
+    reference (8× at the defaults).  Exploding tables into rows makes
+    candidate generation ONE self-join on (t, b); materializing the
+    index (persist+count — it is id + two ints per row, |corpus|·T
+    rows, vectors pruned) computes the folds exactly once and gives
+    both join sides a cache leaf, the same no-consumer-race shape as
+    dedup.ngram_jaccard's shingle packs.  At crawl scale this is the
+    standard persisted ANN signature index."""
+    from ..util import materialize
+
+    sig = lsh_signatures(emb, n_planes, dim, id_col, vec_col, n_tables)
+    return materialize(sig.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"bucket{t}")
+                               for t in range(n_tables)])).alias("t", "b"),
+    ))
+
+
+def lsh_candidates(sigl: DataFrame, query_limit: int,
                    id_col: str = "vec_id") -> DataFrame:
     """Distinct (query_id, neighbor_id) pairs sharing any table's
-    bucket.  Each per-table join is an equi-join on a 2^P-ary key —
-    the 100 TB-safe shape (no cross join anywhere)."""
-    pairs = None
-    for t in range(n_tables):
-        q = sig.filter(F.col(id_col) < query_limit).select(
-            F.col(id_col).alias("query_id"), F.col(f"bucket{t}").alias("b"))
-        c = sig.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(f"bucket{t}").alias("b"))
-        p = q.join(c, "b").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        ).select("query_id", "neighbor_id")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    bucket, from an :func:`exploded_signatures` frame.  One equi-join
+    on the (t, b) composite key — the 100 TB-safe shape (no cross
+    join anywhere; bucket keys are uniform by construction, so no
+    salting either)."""
+    q = sigl.filter(F.col(id_col) < query_limit).select(
+        F.col(id_col).alias("query_id"), "t", "b")
+    c = sigl.select(F.col(id_col).alias("neighbor_id"), "t", "b")
+    return (
+        q.join(c, ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
 
 def lsh_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
@@ -137,8 +165,9 @@ def lsh_topk(emb: DataFrame, k: int = 3, query_limit: int = 100,
     """ANN top-k: multi-table hyperplane LSH candidates, exact cosine
     rerank.  Candidate count ≈ T·|corpus|/2^P per query instead of
     |corpus| — the scale path for brute_force_topk."""
-    sig = lsh_signatures(emb, n_planes, dim, id_col, vec_col, n_tables)
-    cand = lsh_candidates(sig, query_limit, n_tables, id_col)
+    sigl = exploded_signatures(emb, n_planes, dim, n_tables=n_tables,
+                               id_col=id_col, vec_col=vec_col)
+    cand = lsh_candidates(sigl, query_limit, id_col)
     qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     j = (
@@ -263,14 +292,14 @@ def lsh_neardup(emb: DataFrame, threshold: float = 0.4,
     the scale path for dedup.embedding_neardup (a true near-dup pair
     has sim→1, so its sign bits agree in some table with high
     probability)."""
-    sig = lsh_signatures(emb, n_planes, dim, id_col, vec_col, n_tables)
-    pairs = None
-    for t in range(n_tables):
-        a = sig.select(F.col(id_col).alias("doc_a"), F.col(f"bucket{t}").alias("b"))
-        b = sig.select(F.col(id_col).alias("doc_b"), F.col(f"bucket{t}").alias("b"))
-        p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")) \
-             .select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    sigl = exploded_signatures(emb, n_planes, dim, n_tables=n_tables,
+                               id_col=id_col, vec_col=vec_col)
+    a = sigl.select(F.col(id_col).alias("doc_a"), "t", "b")
+    b = sigl.select(F.col(id_col).alias("doc_b"), "t", "b")
+    pairs = (
+        a.join(b, ["t", "b"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
     va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
