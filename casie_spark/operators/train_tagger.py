@@ -638,7 +638,7 @@ def holdout_main(cng_heads: tuple = (),
     spark.stop()
 
 
-def main(cng_heads: tuple = ("trig",)) -> None:  # pragma: no cover - CLI entry
+def main(cng_heads: tuple = ()) -> None:  # pragma: no cover - CLI entry
     from ..session import get_spark
 
     spark = get_spark("train-tagger", master="local[16]",
