@@ -103,26 +103,35 @@ def minhash_candidate_pairs(sig: DataFrame, n_hashes: int = 4,
     would otherwise emit k² pairs, turning a crawl's template pages
     into a quadratic blowup.  A bucket larger than the cap carries no
     near-dup signal anyway — its docs merely share one common shingle.
-    The bucket-size window rides the same hashpartitioning(bucket)
-    exchange the self-join needs, so the guard adds no extra shuffle.
+    The bucket-size window rides the same hashpartitioning(band,
+    bucket) exchange the self-join needs, so the guard adds no extra
+    shuffle.
+
+    Bands are unpivoted into (doc, band, bucket) rows so the signature
+    subtree is planned ONCE (the per-band loop referenced ``sig``
+    n_hashes times — no common-subplan reuse outside exchanges); the
+    self-join's two sides are an IDENTICAL subplan over the same
+    (band, bucket) exchange, which Spark's exchange reuse computes
+    once, so no explicit cache is needed.
     """
-    pairs = None
-    for b in range(n_hashes):
-        s = sig.select(F.col(id_col).alias("doc"), F.col(f"minh{b}").alias("bucket"))
-        if max_bucket is not None:
-            bw = Window.partitionBy("bucket")
-            s = (
-                s.withColumn("_bsz", F.count("*").over(bw))
-                .filter(F.col("_bsz") <= max_bucket)
-                .drop("_bsz")
-            )
-        p = (
-            s.alias("a").join(s.alias("b"), "bucket")
-            .filter(F.col("a.doc") < F.col("b.doc"))
-            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    s = sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.array(*[F.col(f"minh{b}") for b in range(n_hashes)]))
+        .alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        bw = Window.partitionBy("band", "bucket")
+        s = (
+            s.withColumn("_bsz", F.count("*").over(bw))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    return (
+        s.alias("a").join(s.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
 
 
 def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,

@@ -321,24 +321,27 @@ def q13_minhash_bands(spark, sf_dir):
     sig = bands.groupBy("doc_id").agg(
         *[F.min(f"h{b}").alias(f"minh{b}") for b in range(4)]
     )
-    out = []
-    for b in range(4):
-        bucket = sig.groupBy(F.col(f"minh{b}").alias("bucket")).agg(
-            F.count("*").alias("bucket_size")
-        ).filter("bucket_size > 1")
-        out.append(
-            bucket.agg(
-                F.lit(b).alias("band"),
-                F.count("*").alias("n_buckets"),
-                F.sum(
-                    F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
-                ).cast("long").alias("n_candidate_pairs"),
-            )
+    # unpivot the bands into rows so the shingle->signature subtree is
+    # planned ONCE (the per-band loop referenced `sig` four times and
+    # Spark has no common-subplan reuse outside exchanges — the whole
+    # posexplode+window+groupBy pipeline re-ran per band); grouping by
+    # band then mirrors the oracle's UNION ALL + GROUP BY band shape
+    # exactly, including omitting bands with no over-1 bucket
+    unp = sig.select(
+        F.posexplode(F.array(*[F.col(f"minh{b}") for b in range(4)]))
+        .alias("band", "bucket")
+    )
+    return (
+        unp.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter("bucket_size > 1")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+            .cast("long").alias("n_candidate_pairs"),
         )
-    res = out[0]
-    for x in out[1:]:
-        res = res.unionByName(x)
-    return res
+    )
 
 
 def q14_embedding_knn(spark, sf_dir):
