@@ -571,8 +571,16 @@ def q29_ner_lookback(spark, sf_dir):
         "doc_id",
         F.posexplode(F.split(text, r"\s+")).alias("pos", "token"),
     )
+    # exclusion filter, regex-gated like the ner module's own chains:
+    # digit-initial is a one-char compare (no regex), and the v-version
+    # regex can only match a surviving token if it starts with 'v'
+    # (digit-initial matches are already excluded) — ungated, these two
+    # rlikes ran on every one of the stream's ~10M tokens
+    first = F.substring("token", 1, 1)
     toks = words.filter(
-        ~F.col("token").rlike(r"^v*\d+\.\d+") & ~F.col("token").rlike(r"^\d")
+        ~first.between("0", "9")
+        & ~(F.col("token").startswith("v")
+            & F.col("token").rlike(r"^v+\d+\.\d+"))
     ).select(
         "doc_id", F.lit(0).alias("sent_id"),
         (F.col("pos") + 1).alias("token_id"), "token",

@@ -98,6 +98,27 @@ def test_model_pipeline_single_token_shuffle(spark):
     assert "BroadcastExchange" not in plan, "per-doc broadcast crept back in"
 
 
+def test_minhash_single_subtree(spark, sf_dir):
+    """q13: the shingle->signature pipeline must be planned ONCE (the
+    unpivoted-bands form) — exactly one parquet scan and two Generate
+    nodes (words posexplode + band unpivot).  The per-band loop it
+    replaced re-ran the whole pipeline four times."""
+    plan = _plan(QUERIES["q13_minhash_bands"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 2, plan
+
+
+def test_lsh_candidates_use_materialized_index(spark, sf_dir):
+    """q21: candidate generation reads the materialized exploded
+    signature index (InMemoryTableScan on both join sides), so the
+    hyperplane folds are computed once — parquet is scanned only for
+    the rerank vectors."""
+    plan = _plan(QUERIES["q21_ann_lsh"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # rerank qv/cv sides only; the old union form scanned 8 more times
+    assert plan.count("Scan parquet") <= 4, plan
+
+
 def test_no_per_doc_broadcast_in_time_normalization(spark):
     """normalize_time_args joins the one-row-per-document pubdate frame
     with a shuffle join, never a forced broadcast (O(n_docs) memory)."""
