@@ -1,0 +1,122 @@
+"""Cluster packaging and zip-safe artifact access.
+
+The north rule runs this engine via ``spark-submit --py-files
+casie_spark.zip`` on a multi-executor cluster.  Shipped that way, the
+package's ``__file__`` points *inside* the archive, so the plain
+``os.path.join(dirname(__file__), "artifacts", ...)`` paths every
+weight loader builds do not exist on disk — and the loaders would
+silently fall back to the untrained/rule paths.  Two pieces close
+that gap:
+
+- :func:`build_pyfiles_zip` packages the source tree plus the trained
+  ``artifacts/*.npz`` into one zip suitable for ``--py-files`` (the
+  reference ships its model blobs the same way, as files beside the
+  code — link_coref.py:89-119 loads them relative to the script).
+- :func:`resolve_artifact` is the indirection every loader routes its
+  default path through: a real file wins untouched; otherwise the
+  artifact is located through :mod:`importlib.resources` (which reads
+  from zips) and extracted once to a content-addressed per-user cache
+  so ``np.load`` keeps operating on a normal file.
+
+Executors never need either: weights are loaded on the driver and
+broadcast (SURVEY.md S5), so only the driver-side import path must be
+zip-safe.  ``tests/test_deploy.py`` runs the whole loader surface in a
+subprocess whose only package source is the zip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_ARTIFACTS_DIR = os.path.join(_PKG_DIR, "artifacts")
+
+# extensions worth shipping: code, trained weights, committed metrics
+_SHIP_SUFFIXES = (".py", ".npz", ".json")
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Write ``casie_spark.zip`` for ``spark-submit --py-files``.
+
+    Walks the package source tree (works only from a filesystem
+    checkout — packaging FROM a zip is not a real workflow) and stores
+    every ``.py`` / ``.npz`` / ``.json`` under a top-level
+    ``casie_spark/`` prefix, skipping ``__pycache__``.  Returns the
+    absolute zip path (default: ``$TMPDIR/casie_spark.zip``).
+    """
+    out = os.path.abspath(
+        out_path or os.path.join(tempfile.gettempdir(), "casie_spark.zip"))
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(_PKG_DIR):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for name in sorted(files):
+                if not name.endswith(_SHIP_SUFFIXES):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.join(
+                    "casie_spark", os.path.relpath(full, _PKG_DIR))
+                zf.write(full, rel)
+    os.replace(tmp, out)
+    return out
+
+
+def _extracted_resource(name: str) -> str | None:
+    """Extract ``casie_spark/artifacts/<name>`` from the import source
+    (zip or wheel) to a cached real file; None when absent there too.
+
+    The cache file is content-addressed (md5 prefix), so a redeployed
+    zip with different weights never collides with a stale extraction,
+    and repeated calls in one process are a single stat().
+    """
+    try:
+        from importlib import resources
+
+        ref = resources.files(__package__).joinpath("artifacts", name)
+        if not ref.is_file():
+            return None
+        data = ref.read_bytes()
+    except Exception:  # no importer metadata (e.g. bare sys.path hack)
+        return None
+    digest = hashlib.md5(data).hexdigest()[:12]
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"casie_artifacts_{os.getuid()}")
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, f"{digest}_{name}")
+    if not os.path.exists(out):
+        tmp = f"{out}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, out)  # atomic: concurrent extractors agree
+    return out
+
+
+def resolve_artifact(path: str) -> str:
+    """Map a default artifact path to a loadable real file.
+
+    A path that exists (or any caller-supplied path outside the
+    package artifacts dir — explicit overrides keep exact semantics,
+    including "missing" probes before training) is returned unchanged;
+    a missing path *inside* ``casie_spark/artifacts`` is retried
+    through the package import source, covering the ``--py-files``
+    zip deployment.  Loaders keep their existing
+    ``os.path.exists`` / cache-by-path logic untouched.
+    """
+    if os.path.exists(path) or os.path.dirname(path) != _ARTIFACTS_DIR:
+        return path
+    return _extracted_resource(os.path.basename(path)) or path
+
+
+def main() -> None:  # pragma: no cover - thin CLI
+    """``python -m casie_spark.deploy [out.zip]`` — build the bundle."""
+    import sys
+
+    out = build_pyfiles_zip(sys.argv[1] if len(sys.argv) > 1 else None)
+    print(out)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -213,7 +213,9 @@ def load_begin_weights(path: str | None = None):
     edge — argument spans keyed by arg_type, trigger spans by
     subtype), or None when absent.  Cached per (process, path); an
     absent artifact is not pinned."""
-    p = path or BEGIN_ARTIFACT
+    from ..deploy import resolve_artifact
+
+    p = resolve_artifact(path or BEGIN_ARTIFACT)
     if p in _BEGIN_CACHE:
         return _BEGIN_CACHE[p]
     if not os.path.exists(p):

@@ -309,7 +309,9 @@ def load_coref_weights(path: str | None = None):
     """(w, b, mu, sd, threshold) or None when no artifact.  Cached per
     (process, path); absence is NOT pinned (matching load_begin_weights
     — a probe before training must not mask a later save)."""
-    p = path or COREF_ARTIFACT
+    from ..deploy import resolve_artifact
+
+    p = resolve_artifact(path or COREF_ARTIFACT)
     if p in _COREF_CACHE:
         return _COREF_CACHE[p]
     if not os.path.exists(p):

@@ -284,7 +284,9 @@ def load_linker_weights(path: str | None = None):
     Cached per (process, path); absence is NOT pinned (matching
     load_begin_weights — a probe before training must not mask the
     artifact save_artifact writes later)."""
-    p = path or LINKER_ARTIFACT
+    from ..deploy import resolve_artifact
+
+    p = resolve_artifact(path or LINKER_ARTIFACT)
     if p in _LINKER_CACHE:
         return _LINKER_CACHE[p]
     if not os.path.exists(p):

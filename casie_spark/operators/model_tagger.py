@@ -518,7 +518,12 @@ _CACHED_WEIGHTS: dict[str, TaggerWeights] = {}
 def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
     """Trained artifact if present, else the distilled fallback.
     Cached per (process, path) — the driver builds the broadcast from
-    it.  ``invalidate_weight_cache`` drops entries after retraining."""
+    it.  ``invalidate_weight_cache`` drops entries after retraining.
+    The default path is zip-safe (deploy.resolve_artifact) so a
+    ``--py-files`` deployment still loads the trained weights."""
+    from ..deploy import resolve_artifact
+
+    path = resolve_artifact(path)
     cached = _CACHED_WEIGHTS.get(path)
     if cached is not None:
         return cached

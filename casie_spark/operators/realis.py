@@ -125,9 +125,10 @@ def load_realis_weights(path: str | None = None):
 
     import numpy as np
 
+    from ..deploy import resolve_artifact
     from .train_realis import REALIS_ARTIFACT
 
-    p = path or REALIS_ARTIFACT
+    p = resolve_artifact(path or REALIS_ARTIFACT)
     if p in _REALIS_WEIGHTS:
         return _REALIS_WEIGHTS[p]
     if not os.path.exists(p):

@@ -59,9 +59,10 @@ def load_role_weights(path: str | None = None):
 
     import numpy as np
 
+    from ..deploy import resolve_artifact
     from .train_roles import ROLE_ARTIFACT
 
-    p = path or ROLE_ARTIFACT
+    p = resolve_artifact(path or ROLE_ARTIFACT)
     if p in _ROLE_WEIGHTS:
         return _ROLE_WEIGHTS[p]
     if not os.path.exists(p):
