@@ -64,14 +64,23 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
     return out
 
 
+_EXTRACT_CACHE: dict[str, str] = {}
+
+
 def _extracted_resource(name: str) -> str | None:
     """Extract ``casie_spark/artifacts/<name>`` from the import source
     (zip or wheel) to a cached real file; None when absent there too.
 
     The cache file is content-addressed (md5 prefix), so a redeployed
-    zip with different weights never collides with a stale extraction,
-    and repeated calls in one process are a single stat().
+    zip with different weights never collides with a stale extraction.
+    Successful resolutions are memoized per process (name -> path), so
+    repeated loader calls don't re-read + re-hash the zip bytes;
+    absence is NOT memoized (matching the loaders' own no-pinning
+    convention — a cheap ``is_file()`` probe re-runs instead).
     """
+    cached = _EXTRACT_CACHE.get(name)
+    if cached is not None and os.path.exists(cached):
+        return cached
     try:
         from importlib import resources
 
@@ -91,6 +100,7 @@ def _extracted_resource(name: str) -> str | None:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, out)  # atomic: concurrent extractors agree
+    _EXTRACT_CACHE[name] = out
     return out
 
 

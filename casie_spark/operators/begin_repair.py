@@ -135,19 +135,6 @@ def _edge_id_cols(label_col: str, t0: str, p1: str, p2: str, nx: str
     }
 
 
-def _argmax_shift(logits: list, shifts) -> object:
-    """First-max argmax over logit columns -> shift literal (the
-    numpy argmax tiebreak: earlier class wins ties)."""
-    expr = F.lit(int(shifts[-1]))
-    for j in range(len(logits) - 2, -1, -1):
-        cond = None
-        for k in range(j + 1, len(logits)):
-            c = logits[j] >= logits[k]
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, int(shifts[j])).otherwise(expr)
-    return expr
-
-
 def _with_shifts_jvm(df: DataFrame, begin_t: dict, end_t: dict | None,
                      label_col: str, begin_cols: tuple, end_cols: tuple,
                      b_shifts, e_shifts) -> DataFrame:
@@ -324,7 +311,8 @@ def events_with_context(tagged: DataFrame,
 
 
 def repair_begins(args: DataFrame, weights,
-                  label_col: str = "arg_type") -> DataFrame:
+                  label_col: str = "arg_type",
+                  overlap_guard: bool = False) -> DataFrame:
     """Apply a trained shift head to a span frame produced by
     arguments_with_context() / events_with_context() (``label_col``:
     "arg_type" for argument spans, "subtype" for trigger spans).
@@ -351,7 +339,7 @@ def repair_begins(args: DataFrame, weights,
                           ("_tok", "_p1", "_p2", "_nx"), (),
                           SHIFTS, None)
     df = df.withColumnRenamed("_shb", "_sh")
-    return _apply_begin(df).drop(*_CTX_COLS)
+    return _apply_begin(df, overlap_guard=overlap_guard).drop(*_CTX_COLS)
 
 
 def _apply_begin(df: DataFrame, shift_col: str = "_sh",
@@ -409,7 +397,8 @@ def _apply_begin(df: DataFrame, shift_col: str = "_sh",
 
 
 def repair_ends(args: DataFrame, weights,
-                label_col: str = "arg_type") -> DataFrame:
+                label_col: str = "arg_type",
+                overlap_guard: bool = False) -> DataFrame:
     """Right-edge twin of :func:`repair_begins` (r3 VERDICT next #5):
     a trained 4-class END_SHIFTS head snaps span ENDs onto the gold
     right-edge convention.  Consumes the last-token context columns
@@ -426,7 +415,7 @@ def repair_ends(args: DataFrame, weights,
                           ("_ltok", "_ln1", "_ln2", "_lp1"), (),
                           END_SHIFTS, None)
     df = df.withColumnRenamed("_shb", "_sh")
-    return _apply_end(df).drop(*_END_CTX_COLS)
+    return _apply_end(df, overlap_guard=overlap_guard).drop(*_END_CTX_COLS)
 
 
 def _apply_end(df: DataFrame, shift_col: str = "_sh",
@@ -501,9 +490,11 @@ def repair_edges(args: DataFrame, begin_w, end_w,
     if begin_w is None and end_w is None:
         return args.drop(*_CTX_COLS, *_END_CTX_COLS)
     if end_w is None:
-        return repair_begins(args, begin_w, label_col).drop(*_END_CTX_COLS)
+        return repair_begins(args, begin_w, label_col,
+                             overlap_guard=overlap_guard).drop(*_END_CTX_COLS)
     if begin_w is None:
-        return repair_ends(args.drop(*_CTX_COLS), end_w, label_col)
+        return repair_ends(args.drop(*_CTX_COLS), end_w, label_col,
+                           overlap_guard=overlap_guard)
     df = _with_shifts_jvm(args, begin_w, end_w, label_col,
                           ("_tok", "_p1", "_p2", "_nx"),
                           ("_ltok", "_ln1", "_ln2", "_lp1"),

@@ -447,7 +447,12 @@ def cluster_events(events: DataFrame, linked: DataFrame,
     if weights == "trained":
         trained = load_coref_weights()
         if trained is None:
-            if os.path.exists(COREF_ARTIFACT):
+            from ..deploy import resolve_artifact
+
+            # resolve through the zip-safe indirection so a stale
+            # artifact inside a --py-files bundle gets the retrain
+            # message, not a bogus file-not-found
+            if os.path.exists(resolve_artifact(COREF_ARTIFACT)):
                 raise ValueError(
                     f"stale coref artifact at {COREF_ARTIFACT} (expected "
                     f"{len(COREF_PAIR_FEATURES)} features); retrain with "

@@ -85,9 +85,10 @@ def begin_features(arg_types: list, toks: list, p1s: list, p2s: list,
 def _logits(tables: dict[str, np.ndarray], f: dict[str, np.ndarray]
             ) -> np.ndarray:
     # float64 accumulation in _KEYS order: float32 table rows upcast
-    # exactly, and left-to-right float64 addition is what the JVM
-    # scorer (begin_repair._score_edges_jvm) computes — the two paths
-    # are bit-identical, incl. argmax ties (test_begin_repair parity)
+    # exactly, and left-to-right float64 addition is what the deployed
+    # scorer (begin_repair._with_shifts_jvm: JVM crc32/shape ids + one
+    # int-only pandas_udf doing the same gathers) computes — the two
+    # paths are bit-identical, incl. argmax ties (test_begin_repair)
     out = tables["b"][None, :].astype(np.float64).repeat(
         len(f["t0"]), axis=0)
     for k in _KEYS:

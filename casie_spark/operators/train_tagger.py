@@ -324,7 +324,11 @@ def train(pdf, sev: bool = True,
     toks = pdf["token"].astype(str).tolist()
     prevs = pdf["prev"].tolist()
     nexts = pdf["next"].tolist()
-    f = feature_arrays(toks, prevs, nexts)
+    # skip the measured-rejected feature matrices unless a head
+    # actually trains with them: wc keys are unconditionally dropped
+    # below, and the cng bag (the most expensive featurizer pass) is
+    # only consumed when cng_heads asks for the receipt reproduction
+    f = feature_arrays(toks, prevs, nexts, cng=bool(cng_heads), wc=False)
 
     trig_idx = {t: i for i, t in enumerate(TRIGGER_LABELS)}
     arg_idx = {t: i for i, t in enumerate(GOLD_ARG_LABELS)}

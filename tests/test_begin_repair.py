@@ -260,10 +260,11 @@ def test_edge_audit_recorded_and_floored():
 
 
 def test_jvm_scorer_parity_with_python_logits(spark):
-    """The JVM shift scorer (crc32 ids + broadcast weight joins +
-    when-chain argmax) is bit-identical to the Python featurizer +
-    float64 _logits + np.argmax on the COMMITTED artifact — including
-    null neighbors, unicode, and tie-prone near-zero rows."""
+    """The deployed shift scorer (JVM crc32/shape feature ids + one
+    int-only pandas_udf of numpy gathers + argmax) is bit-identical to
+    the Python featurizer + float64 _logits + np.argmax on the
+    COMMITTED artifact — including null neighbors, unicode, and
+    tie-prone near-zero rows."""
     import numpy as np
 
     from casie_spark.operators.begin_repair import (
