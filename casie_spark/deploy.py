@@ -65,6 +65,34 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
 
 
 _EXTRACT_CACHE: dict[str, str] = {}
+_PRIVATE_CACHE_DIR: list[str] = []  # fallback when shared /tmp is unsafe
+
+
+def _cache_dir() -> str:
+    """Per-user extraction cache dir, validated against /tmp squatting.
+
+    The predictable shared-tmp path is only trusted when it is a real
+    directory we own with no group/other write bits — on a multi-tenant
+    node another user could otherwise pre-create it (``makedirs(...,
+    exist_ok=True)`` succeeds on a foreign-owned dir) and plant files at
+    the content-addressed names.  When the check fails, fall back to a
+    process-private ``mkdtemp`` (loses cross-process reuse, keeps
+    correctness)."""
+    shared = os.path.join(
+        tempfile.gettempdir(), f"casie_artifacts_{os.getuid()}")
+    try:
+        os.makedirs(shared, mode=0o700, exist_ok=True)
+        st = os.lstat(shared)
+        import stat as _stat
+
+        if _stat.S_ISDIR(st.st_mode) and st.st_uid == os.getuid() \
+                and not (st.st_mode & 0o022):
+            return shared
+    except OSError:
+        pass
+    if not _PRIVATE_CACHE_DIR:
+        _PRIVATE_CACHE_DIR.append(tempfile.mkdtemp(prefix="casie_artifacts_"))
+    return _PRIVATE_CACHE_DIR[0]
 
 
 def _extracted_resource(name: str) -> str | None:
@@ -76,7 +104,10 @@ def _extracted_resource(name: str) -> str | None:
     Successful resolutions are memoized per process (name -> path), so
     repeated loader calls don't re-read + re-hash the zip bytes;
     absence is NOT memoized (matching the loaders' own no-pinning
-    convention — a cheap ``is_file()`` probe re-runs instead).
+    convention — a cheap ``is_file()`` probe re-runs instead).  A
+    pre-existing cache file is trusted only after its bytes hash to the
+    expected digest — a planted or truncated file is overwritten, never
+    loaded.
     """
     cached = _EXTRACT_CACHE.get(name)
     if cached is not None and os.path.exists(cached):
@@ -90,12 +121,13 @@ def _extracted_resource(name: str) -> str | None:
         data = ref.read_bytes()
     except Exception:  # no importer metadata (e.g. bare sys.path hack)
         return None
-    digest = hashlib.md5(data).hexdigest()[:12]
-    cache_dir = os.path.join(
-        tempfile.gettempdir(), f"casie_artifacts_{os.getuid()}")
-    os.makedirs(cache_dir, exist_ok=True)
-    out = os.path.join(cache_dir, f"{digest}_{name}")
-    if not os.path.exists(out):
+    digest = hashlib.md5(data).hexdigest()
+    out = os.path.join(_cache_dir(), f"{digest[:12]}_{name}")
+    valid = False
+    if os.path.exists(out):
+        with open(out, "rb") as f:
+            valid = hashlib.md5(f.read()).hexdigest() == digest
+    if not valid:
         tmp = f"{out}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             f.write(data)

@@ -342,6 +342,17 @@ def repair_begins(args: DataFrame, weights,
     return _apply_begin(df, overlap_guard=overlap_guard).drop(*_CTX_COLS)
 
 
+def _free_pred(overlap_guard: bool):
+    """Shared guard predicate for both edge appliers: a neighbor tag
+    column is "free" (absorbable) when it is null or O; with the guard
+    off every column is free."""
+    def _free(col):
+        if not overlap_guard:
+            return F.lit(True)
+        return F.col(col).isNull() | (F.col(col) == "O")
+    return _free
+
+
 def _apply_begin(df: DataFrame, shift_col: str = "_sh",
                  overlap_guard: bool = False) -> DataFrame:
     """JVM-side begin edits for a predicted shift column: guard
@@ -355,11 +366,7 @@ def _apply_begin(df: DataFrame, shift_col: str = "_sh",
     absorbed token is the tail of the PRECEDING predicted span, so the
     unguarded shift would create overlapping spans."""
     sh = F.col(shift_col)
-
-    def _free(col):
-        if not overlap_guard:
-            return F.lit(True)
-        return F.col(col).isNull() | (F.col(col) == "O")
+    _free = _free_pred(overlap_guard)
 
     # guard: fall back to 0 when the shift target does not exist
     df = df.withColumn(
@@ -428,11 +435,7 @@ def _apply_end(df: DataFrame, shift_col: str = "_sh",
     ``overlap_guard``: suppress a RIGHT extension whose absorbed token
     (_lg1/_lg2) is owned by the FOLLOWING same-stream span."""
     sh = F.col(shift_col)
-
-    def _free(col):
-        if not overlap_guard:
-            return F.lit(True)
-        return F.col(col).isNull() | (F.col(col) == "O")
+    _free = _free_pred(overlap_guard)
 
     # guard: keep-as-is when the shift target does not exist
     df = df.withColumn(

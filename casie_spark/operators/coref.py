@@ -220,6 +220,10 @@ def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int],
     chaincnt = ([Counter(c) if isinstance(c, (list, tuple)) else Counter()
                  for c in sub["_chains"]]
                 if "_chains" in sub.columns else None)
+    # per-event mention totals are loop-invariant — hoist them out of
+    # the O(n^2) pair loop below
+    chaintot = ([sum(c.values()) for c in chaincnt]
+                if chaincnt is not None else None)
 
     m = {k: np.zeros((n, n)) for k in COREF_PAIR_FEATURES}
     if chaincnt is not None:
@@ -264,7 +268,7 @@ def pair_matrices(sub: pd.DataFrame, pubdate: tuple[int, int, int],
                     # document-level chain (argcoref pairing with
                     # transitive chains instead of containment)
                     ci, cj = chaincnt[i], chaincnt[j]
-                    tot = sum(ci.values()) * sum(cj.values())
+                    tot = chaintot[i] * chaintot[j]
                     if tot:
                         same = sum(v * cj[c] for c, v in ci.items())
                         m["chain"][i, j] = same / tot

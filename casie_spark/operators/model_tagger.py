@@ -113,7 +113,11 @@ def shape_id(tok: str) -> int:
     begin_repair.shape_id_col is a bit-exact twin — verified a no-op
     vs the earlier str.isdigit()/isupper() form on every unique token
     of the gold corpus (21,542) and the synthetic bench corpus, so the
-    committed artifacts trained against the old form stay valid."""
+    committed artifacts trained against the old form stay valid.
+    Out-of-corpus tokens whose only numerics are non-Nd (No/Nl:
+    superscripts, fractions, roman numerals — str.isdigit() true, Nd
+    false) classify as shape 1 rather than the old 6; train and serve
+    share this function, so the change is consistent, not a skew."""
     if not tok:
         return 0
     if tok.startswith("CVE-"):
@@ -513,6 +517,7 @@ def distill_rule_weights() -> TaggerWeights:
 # keyed by path (ADVICE r2: a global single-slot cache pinned the first
 # result and ignored the path argument of later calls)
 _CACHED_WEIGHTS: dict[str, TaggerWeights] = {}
+_CACHED_FALLBACK: list[TaggerWeights] = []
 
 
 def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
@@ -520,7 +525,13 @@ def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
     Cached per (process, path) — the driver builds the broadcast from
     it.  ``invalidate_weight_cache`` drops entries after retraining.
     The default path is zip-safe (deploy.resolve_artifact) so a
-    ``--py-files`` deployment still loads the trained weights."""
+    ``--py-files`` deployment still loads the trained weights.
+
+    Absence is NOT pinned (the convention every other loader and
+    ``deploy._extracted_resource`` follow): the distilled fallback is
+    cached under its own slot, so a probe that ran before training does
+    not keep serving rule-distilled weights after ``train_tagger``
+    writes the artifact — the next call re-checks the path."""
     from ..deploy import resolve_artifact
 
     path = resolve_artifact(path)
@@ -550,16 +561,20 @@ def load_weights(path: str = ARTIFACT_PATH) -> TaggerWeights:
             trig_trans=_trans("trig"),
             arg_trans=_trans("arg"),
         )
-    else:  # pragma: no cover - artifact is committed
-        w = distill_rule_weights()
-    _CACHED_WEIGHTS[path] = w
-    return w
+        _CACHED_WEIGHTS[path] = w
+        return w
+    # artifact absent: serve (and memoize) the fallback WITHOUT pinning
+    # it under the path key — the existence probe re-runs next call
+    if not _CACHED_FALLBACK:  # pragma: no cover - artifact is committed
+        _CACHED_FALLBACK.append(distill_rule_weights())
+    return _CACHED_FALLBACK[0]  # pragma: no cover
 
 
 def invalidate_weight_cache(path: str | None = None) -> None:
     """Drop cached weights (all paths, or one) after saving an artifact."""
     if path is None:
         _CACHED_WEIGHTS.clear()
+        _CACHED_FALLBACK.clear()
     else:
         _CACHED_WEIGHTS.pop(path, None)
 
