@@ -145,26 +145,38 @@ def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
     shingle-scale data): each doc's distinct shingles are packed into
     ONE array row (the same aggregation that produces the sizes), and
     the exact intersection becomes JVM ``array_intersect`` at
-    candidate-PAIR scale — candidate pairs are LSH survivors, so the
-    arrays travel only for docs that actually collide.  The
-    distinct-shingle frame now has two consumers (signature + packs);
-    it persists lazily and the eager materialize of the per-doc packs
-    frame populates the cache as a side effect — one useful pass, no
+    candidate-PAIR scale.  The packs are built only for docs that
+    appear in a candidate pair (a semi-join against the materialized
+    candidates, BEFORE the collect_list so non-survivor arrays are
+    never assembled) — candidates inner-join the packs, so the
+    restriction is exactly result-preserving, and at crawl scale the
+    cached array frame shrinks from every-doc to colliding-docs.  The
+    distinct-shingle frame has two consumers (signature + packs); it
+    persists lazily and the eager materialize of the candidate frame
+    populates the cache as a side effect — one useful pass, no
     dedicated warming count (r2 VERDICT "what's wrong" #3), and no
-    consumer race on the uncached subtree."""
+    consumer race on the uncached subtree.  The semi-join and the
+    pack groupBy share the id_col hash partitioning (one exchange);
+    AQE broadcasts the survivor side when it is small."""
     from ..util import cache_lazy, materialize
 
     sh = cache_lazy(
         word_shingles(words_with_pos(docs, text_col, id_col), n, id_col).distinct()
     )
+    sig = minhash_signature(sh, n_hashes, id_col)
+    cand = materialize(minhash_candidate_pairs(sig, n_hashes, id_col))
+    surv = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     packs = materialize(
-        sh.groupBy(id_col).agg(
+        sh.join(surv, id_col, "left_semi")
+        .groupBy(id_col).agg(
             F.collect_list("shingle").alias("_shs"),
             F.count("*").alias("n_sh"),
         )
     )
-    sig = minhash_signature(sh, n_hashes, id_col)
-    cand = minhash_candidate_pairs(sig, n_hashes, id_col)
 
     pa = packs.select(F.col(id_col).alias("doc_a"),
                       F.col("_shs").alias("_sa"), F.col("n_sh").alias("n_a"))
