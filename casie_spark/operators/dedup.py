@@ -272,6 +272,130 @@ def simhash_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# substring-level dedup + decontamination
+# ---------------------------------------------------------------------------
+
+def token_windows(docs: DataFrame, k: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, gram_id): every overlapping k-token window of the
+    lowercased, whitespace-split text, keyed by the md5 of the
+    space-joined window.  md5 (128-bit) is the cross-engine key the
+    DuckDB oracles can reproduce; a production deployment would swap
+    xxhash64 here (8-byte shuffle key, same plan shape).
+
+    One token-scale shuffle: the k−1 lead() columns ride a single
+    per-doc window pass — no self-join of the token stream against
+    itself (k-point join-back would re-shuffle k times)."""
+    words = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda x: x != F.lit(""))
+        ).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(w).alias(f"_w{i}") for i in range(1, k)]
+    grams = words.select(id_col, "pos", F.col("w"), *leads)
+    return grams.filter(F.col(f"_w{k - 1}").isNotNull()).select(
+        id_col, "pos",
+        F.md5(F.concat_ws(" ", "w", *[f"_w{i}" for i in range(1, k)]))
+        .alias("gram_id"),
+    )
+
+
+def substring_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Duplicated-substring coverage per document (the substring-level
+    counterpart of the doc-level dedups above; Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    reference corpus is 1,000 curated articles and has no analog).
+
+    A window is *duplicated* when its k-gram occurs in ≥ 2 distinct
+    documents; per doc we report the window count and the number of
+    tokens covered by the union of duplicated windows (overlapping
+    windows merged into maximal intervals — the span a substring-dedup
+    pass would actually cut).
+
+    Scale shape: token_windows is one token-scale exchange; the
+    duplicate-gram set is one gram-scale groupBy on a uniform 128-bit
+    key (no skew); the restriction back to duplicated positions is a
+    left-semi join (AQE broadcasts it when the dup set is small, which
+    it is on a deduplicated crawl); the interval merge is a per-doc
+    running-max window — positions are already partitioned by doc.
+    Returns (doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac),
+    one row per input document."""
+    words = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda x: x != F.lit(""))
+        ).alias("pos", "w"),
+    )
+    tot = words.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+
+    grams = token_windows(docs, k=k, text_col=text_col, id_col=id_col)
+    dup = (grams.groupBy("gram_id")
+           .agg(F.count_distinct(id_col).alias("nd"))
+           .filter(F.col("nd") >= 2).select("gram_id"))
+    dpos = grams.join(dup, "gram_id", "left_semi").select(
+        id_col, "pos", (F.col("pos") + k - 1).alias("e"))
+
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("e").over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dpos.select(
+        id_col, "pos", "e",
+        F.when(prev_end.isNull() | (prev_end < F.col("pos")), 1)
+        .otherwise(0).alias("is_new"),
+    )
+    grp = marked.select(
+        id_col, "pos", "e",
+        F.sum("is_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("gidx"),
+    )
+    ivals = grp.groupBy(id_col, "gidx").agg(
+        (F.max("e") - F.min("pos") + 1).alias("clen"),
+        F.count("*").alias("cnt"),
+    )
+    cov = ivals.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_dup_windows"),
+        F.sum("clen").alias("dup_tokens"),
+    )
+    return tot.join(cov, id_col, "left").select(
+        id_col, "n_tokens",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long"))
+        .alias("n_dup_windows"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long"))
+        .alias("dup_tokens"),
+        F.round(F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long"))
+                / F.col("n_tokens"), 4).alias("dup_frac"),
+    )
+
+
+def decontaminate(train: DataFrame, eval_set: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-set decontamination: flag train documents sharing any
+    k-token window with an evaluation/benchmark corpus (the overlap
+    audit every published LLM data pipeline runs before training; the
+    GPT-3 paper's 13-gram check is this op with k=13).
+
+    Scale shape: the eval side is small by construction (benchmarks,
+    not crawls) — its distinct gram set broadcast-joins against the
+    train windows, so the train stream is never shuffled beyond its
+    own token-windowing.  Returns only contaminated docs:
+    (doc_id, n_windows, n_hits, hit_frac)."""
+    tw = token_windows(train, k=k, text_col=text_col, id_col=id_col)
+    ev = (token_windows(eval_set, k=k, text_col=text_col, id_col=id_col)
+          .select("gram_id").distinct())
+    per_doc = tw.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    hits = (tw.join(F.broadcast(ev), "gram_id", "left_semi")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    return hits.join(per_doc, id_col).select(
+        id_col, "n_windows", "n_hits",
+        F.round(F.col("n_hits") / F.col("n_windows"), 4).alias("hit_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
@@ -285,6 +409,10 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
                       id_col: str = "vec_id",

@@ -518,6 +518,37 @@ def q32_pii_redaction(spark, sf_dir):
     )
 
 
+def q33_substring_dedup(spark, sf_dir):
+    """Substring-level dedup (dedup.substring_dedup, Lee et al. 2021):
+    per-doc coverage by 8-token windows occurring in >= 2 documents —
+    duplicated windows merged into maximal intervals so dup_tokens is
+    the span a substring-cut would remove.  One token-scale exchange,
+    one gram-scale groupBy on the md5 key, interval merge per doc."""
+    from .operators.dedup import substring_dedup
+
+    return substring_dedup(_load(spark, sf_dir, "documents"), k=8)
+
+
+# eval-benchmark sources for q34's Spark side and oracle (a fifth of
+# the synthetic corpus plays the held-out benchmark suite)
+_EVAL_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q34_decontaminate(spark, sf_dir):
+    """Train-vs-benchmark decontamination (dedup.decontaminate — the
+    GPT-3-style n-gram overlap audit, k=8 here): train docs sharing
+    any 8-token window with the eval sources are flagged with their
+    hit fraction.  The eval gram set is broadcast (benchmarks are
+    small by construction); the train stream shuffles only for its own
+    windowing."""
+    from .operators.dedup import decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    tr = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return decontaminate(tr, ev, k=8)
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -697,6 +728,8 @@ QUERIES = {
     "q30_source_quota": q30_source_quota,
     "q31_repetition": q31_repetition,
     "q32_pii_redaction": q32_pii_redaction,
+    "q33_substring_dedup": q33_substring_dedup,
+    "q34_decontaminate": q34_decontaminate,
 }
 
 
@@ -1037,6 +1070,92 @@ def _fingerprints_oracle() -> str:
     """
 
 
+def _token_windows_cte(k: int = 8) -> str:
+    """Shared words+grams CTE for the substring-dedup/decontamination
+    oracles: mirrors dedup.token_windows (lowercase, whitespace split,
+    empty tokens filtered BEFORE positions are assigned, md5 of the
+    space-joined k-gram).  Positions are 1-based here vs posexplode's
+    0-based — only relative arithmetic reaches the results."""
+    joined = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{i}) OVER win" for i in range(1, k)])
+    return f"""
+        words AS (
+            SELECT doc_id, source, unnest(ws) AS w,
+                   generate_subscripts(ws, 1) AS pos
+            FROM (SELECT doc_id, source,
+                         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '') AS ws
+                  FROM documents) t
+        ), grams AS (
+            SELECT doc_id, source, pos, md5({joined}) AS gram_id,
+                   lead(w,{k - 1}) OVER win AS wlast
+            FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), g AS (
+            SELECT doc_id, source, pos, gram_id FROM grams
+            WHERE wlast IS NOT NULL
+        )"""
+
+
+def _substring_dedup_oracle(k: int = 8) -> str:
+    return f"""
+        WITH {_token_windows_cte(k)},
+        dup AS (
+            SELECT gram_id FROM g GROUP BY gram_id
+            HAVING count(DISTINCT doc_id) >= 2
+        ), dpos AS (
+            SELECT doc_id, pos, pos + {k - 1} AS e FROM g
+            WHERE gram_id IN (SELECT gram_id FROM dup)
+        ), marked AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= pos THEN 0 ELSE 1 END AS is_new
+            FROM dpos
+        ), grp AS (
+            SELECT doc_id, pos, e,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS gidx
+            FROM marked
+        ), ivals AS (
+            SELECT doc_id, gidx, max(e) - min(pos) + 1 AS clen,
+                   count(*) AS cnt
+            FROM grp GROUP BY doc_id, gidx
+        ), cov AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_windows,
+                   CAST(sum(clen) AS BIGINT) AS dup_tokens
+            FROM ivals GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_tokens FROM words GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tokens,
+               CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(c.dup_tokens, 0) / t.n_tokens, 4) AS dup_frac
+        FROM tot t LEFT JOIN cov c USING (doc_id)
+    """
+
+
+def _decontaminate_oracle(k: int = 8) -> str:
+    evs = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    return f"""
+        WITH {_token_windows_cte(k)},
+        ev AS (
+            SELECT DISTINCT gram_id FROM g WHERE source IN ({evs})
+        ), tw AS (
+            SELECT doc_id, gram_id FROM g WHERE source NOT IN ({evs})
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_windows FROM tw GROUP BY doc_id
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_hits FROM tw
+            WHERE gram_id IN (SELECT gram_id FROM ev) GROUP BY doc_id
+        )
+        SELECT h.doc_id, p.n_windows, h.n_hits,
+               round(h.n_hits / p.n_windows, 4) AS hit_frac
+        FROM hits h JOIN per_doc p USING (doc_id)
+    """
+
+
 def oracle_sql(sf_dir: str = "") -> dict[str, str]:
     """DuckDB equivalents; tables are pre-registered views named like
     the parquet files, so plain table names are used."""
@@ -1267,6 +1386,8 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "q29_ner_lookback": _ner_lookback_oracle(),
+        "q33_substring_dedup": _substring_dedup_oracle(),
+        "q34_decontaminate": _decontaminate_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

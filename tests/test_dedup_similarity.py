@@ -214,3 +214,72 @@ def test_quota_sample_deterministic_and_mixture(spark):
     plan = kept._sc._jvm.PythonSQLUtils.explainString(
         kept._jdf.queryExecution(), "simple")
     assert "Exchange" not in plan
+
+
+def test_substring_dedup_interval_merge(spark):
+    """Hand-computed golden case for dedup.substring_dedup (k=3):
+    overlapping duplicated windows merge into one interval, disjoint
+    ones stay separate, and a gram repeated only WITHIN a doc is not
+    flagged (the cross-doc distinct-count gate)."""
+    from casie_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # 'a b c' + 'b c d' shared
+            (2, "x a b c d y"),            # same two, offset by one
+            (3, "p q r s t u"),            # clean
+            (4, "a b c q q q q b c d"),    # two DISJOINT dup intervals;
+                                           # 'q q q' repeats within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dedup(docs, k=3).collect()}
+    assert len(rows) == 4  # one row per input doc, clean docs included
+    # d1: windows [0,2]+[1,3] merge -> 4 of 6 tokens covered
+    assert (rows[1]["n_tokens"], rows[1]["n_dup_windows"],
+            rows[1]["dup_tokens"], rows[1]["dup_frac"]) == (6, 2, 4, 0.6667)
+    assert (rows[2]["n_dup_windows"], rows[2]["dup_tokens"]) == (2, 4)
+    assert (rows[3]["n_dup_windows"], rows[3]["dup_tokens"],
+            rows[3]["dup_frac"]) == (0, 0, 0.0)
+    # d4: [0,2] and [7,9] stay disjoint -> 6 tokens; 'q q q' not flagged
+    assert (rows[4]["n_tokens"], rows[4]["n_dup_windows"],
+            rows[4]["dup_tokens"], rows[4]["dup_frac"]) == (10, 2, 6, 0.6)
+
+
+def test_token_windows_normalization(spark):
+    """token_windows lowercases and drops empty split tokens BEFORE
+    positions are assigned, so ragged whitespace/case produce the same
+    gram keys; docs shorter than k produce no windows."""
+    from casie_spark.operators.dedup import token_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "  A  b   C d "), (3, "x y")],
+        "doc_id long, text string",
+    )
+    tw = token_windows(docs, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in tw:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["gram_id"]))
+    assert sorted(by_doc) == [1, 2]  # doc 3 (2 tokens < k) emits nothing
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+    assert len(by_doc[1]) == 2  # n_tokens - k + 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    """GPT-3-style n-gram decontamination: train docs sharing any
+    k-gram with the eval corpus are flagged with their hit fraction;
+    clean docs are absent from the result."""
+    from casie_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (3, "p q r s t u"),
+         (4, "a b c q q q q b c d")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(train, ev, k=3).collect()}
+    assert sorted(rows) == [1, 4]  # doc 3 is clean
+    assert (rows[1]["n_windows"], rows[1]["n_hits"], rows[1]["hit_frac"]) \
+        == (4, 1, 0.25)
+    assert (rows[4]["n_windows"], rows[4]["n_hits"], rows[4]["hit_frac"]) \
+        == (8, 1, 0.125)
