@@ -396,7 +396,7 @@ def decontaminate(train: DataFrame, eval_set: DataFrame, k: int = 8,
 
 
 # ---------------------------------------------------------------------------
-# embedding near-dup
+# embedding cosine primitives
 # ---------------------------------------------------------------------------
 
 def _dot(a, b):

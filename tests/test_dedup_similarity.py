@@ -283,3 +283,41 @@ def test_decontaminate_flags_overlap(spark):
         == (4, 1, 0.25)
     assert (rows[4]["n_windows"], rows[4]["n_hits"], rows[4]["hit_frac"]) \
         == (8, 1, 0.125)
+
+
+def test_substring_dedup_differential_bruteforce(spark):
+    """Differential gate: substring_dedup vs a brute-force pure-Python
+    replay (dict of gram -> doc set, then positional union) on a
+    seeded random corpus — exercises merge chains, docs below k, and
+    heavy cross-doc overlap beyond the hand-golden case."""
+    import random
+
+    from casie_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(73)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense overlap
+    corpus = [(i, " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(2, 40))))
+              for i in range(30)]
+    k = 3
+
+    toks = {i: t.split() for i, t in corpus}
+    owners: dict[tuple, set] = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            owners.setdefault(tuple(ws[p:p + k]), set()).add(i)
+    expect = {}
+    for i, ws in toks.items():
+        dup_pos = [p for p in range(len(ws) - k + 1)
+                   if len(owners[tuple(ws[p:p + k])]) >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        frac = round(len(covered) / len(ws), 4)
+        expect[i] = (len(ws), len(dup_pos), len(covered), frac)
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_windows"],
+                         r["dup_tokens"], r["dup_frac"])
+           for r in substring_dedup(docs, k=k).collect()}
+    assert got == expect
