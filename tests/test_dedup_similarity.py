@@ -321,3 +321,40 @@ def test_substring_dedup_differential_bruteforce(spark):
                          r["dup_tokens"], r["dup_frac"])
            for r in substring_dedup(docs, k=k).collect()}
     assert got == expect
+
+
+def test_decontaminate_differential_bruteforce(spark):
+    """Differential gate: decontaminate vs a brute-force pure-Python
+    replay (eval gram set, then per-train-doc window membership) on a
+    seeded random corpus — exercises multi-hit docs, clean docs, and
+    train docs shorter than k."""
+    import random
+
+    from casie_spark.operators.dedup import decontaminate
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(10)]
+    mk = lambda lo, hi: " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(lo, hi)))
+    train = [(i, mk(2, 30)) for i in range(25)]
+    ev = [(100 + i, mk(4, 12)) for i in range(5)]
+    k = 4
+
+    def grams(text):
+        ws = text.split()
+        return [tuple(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+
+    eset = {g for _, t in ev for g in grams(t)}
+    expect = {}
+    for i, t in train:
+        gs = grams(t)
+        hits = sum(g in eset for g in gs)
+        if hits:
+            expect[i] = (len(gs), hits, round(hits / len(gs), 4))
+
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    ed = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_hits"], r["hit_frac"])
+           for r in decontaminate(tr, ed, k=k).collect()}
+    assert expect, "seed must produce at least one contaminated doc"
+    assert got == expect
