@@ -322,16 +322,22 @@ def substring_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
     left-semi join (AQE broadcasts it when the dup set is small, which
     it is on a deduplicated crawl); the interval merge is a per-doc
     running-max window — positions are already partitioned by doc.
+    The per-doc token count never explodes: it is a map-only
+    ``size(filter(split(...)))`` over the doc row, so the only
+    token-scale frames are the two gram passes (the dup-set build and
+    the position probe — recomputed from the pruned parquet scan
+    rather than cached, since a token-scale cache at crawl scale costs
+    more than the second codegen'd pass).
     Returns (doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac),
     one row per input document."""
-    words = docs.select(
+    tot = docs.select(
         id_col,
-        F.posexplode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda x: x != F.lit(""))
-        ).alias("pos", "w"),
-    )
-    tot = words.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+        F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda x: x != F.lit("")))
+        .cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)  # zero-token docs: same as the
+    # old groupBy-over-posexplode form (and the oracle), which never
+    # emitted a row for them
 
     grams = token_windows(docs, k=k, text_col=text_col, id_col=id_col)
     dup = (grams.groupBy("gram_id")

@@ -133,3 +133,25 @@ def test_no_per_doc_broadcast_in_time_normalization(spark):
     out = normalize_time_args(triples, docs)
     plan = _plan(out)
     assert "BroadcastExchange" not in plan, "pubdate frame must shuffle-join"
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """q33: the per-doc token count is map-only (size over the split
+    array, no posexplode), so the only Generate nodes are the two gram
+    passes (dup-set build + position probe); the token stream shuffles
+    once per gram pass on doc_id plus the gram-scale groupBy — no
+    extra count-words exchange."""
+    plan = _plan(QUERIES["q33_substring_dedup"](spark, sf_dir))
+    assert plan.count("Generate") == 2, plan
+    # intervals ride the existing doc_id windows: two Window chains,
+    # both already partitioned by doc_id (no re-sort on a new key)
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """q34: the eval-benchmark gram set is explicitly broadcast into a
+    LeftSemi hash join, so the train token stream shuffles only for
+    its own windowing — never against the eval side."""
+    plan = _plan(QUERIES["q34_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0], plan
