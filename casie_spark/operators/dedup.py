@@ -378,7 +378,8 @@ def substring_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
 
 
 def decontaminate(train: DataFrame, eval_set: DataFrame, k: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_eval: bool = True) -> DataFrame:
     """Training-set decontamination: flag train documents sharing any
     k-token window with an evaluation/benchmark corpus (the overlap
     audit every published LLM data pipeline runs before training; the
@@ -387,13 +388,20 @@ def decontaminate(train: DataFrame, eval_set: DataFrame, k: int = 8,
     Scale shape: the eval side is small by construction (benchmarks,
     not crawls) — its distinct gram set broadcast-joins against the
     train windows, so the train stream is never shuffled beyond its
-    own token-windowing.  Returns only contaminated docs:
+    own token-windowing.  Pass ``broadcast_eval=False`` when the
+    "eval" side is itself corpus-sized (e.g. auditing one crawl
+    snapshot against another): the forced hint would buffer every
+    distinct gram on the driver, so instead leave the semi-join
+    strategy to Catalyst/AQE, which shuffles both sides on the
+    uniform md5 key.  Returns only contaminated docs:
     (doc_id, n_windows, n_hits, hit_frac)."""
     tw = token_windows(train, k=k, text_col=text_col, id_col=id_col)
     ev = (token_windows(eval_set, k=k, text_col=text_col, id_col=id_col)
           .select("gram_id").distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     per_doc = tw.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    hits = (tw.join(F.broadcast(ev), "gram_id", "left_semi")
+    hits = (tw.join(ev, "gram_id", "left_semi")
             .groupBy(id_col).agg(F.count("*").alias("n_hits")))
     return hits.join(per_doc, id_col).select(
         id_col, "n_windows", "n_hits",

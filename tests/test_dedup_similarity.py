@@ -358,3 +358,22 @@ def test_decontaminate_differential_bruteforce(spark):
            for r in decontaminate(tr, ed, k=k).collect()}
     assert expect, "seed must produce at least one contaminated doc"
     assert got == expect
+
+
+def test_decontaminate_shuffle_fallback(spark):
+    """broadcast_eval=False drops the forced hint (corpus-vs-corpus
+    audits must not buffer the gram set on the driver) and returns the
+    same rows."""
+    from casie_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (3, "p q r s t u")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    out = decontaminate(train, ev, k=3, broadcast_eval=False)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple")
+    semi = plan[plan.index("LeftSemi") - 400:plan.index("LeftSemi")]
+    assert "BroadcastHashJoin" not in semi, plan
+    rows = {r["doc_id"]: (r["n_windows"], r["n_hits"]) for r in out.collect()}
+    assert rows == {1: (4, 1)}
