@@ -377,3 +377,31 @@ def test_decontaminate_shuffle_fallback(spark):
     assert "BroadcastHashJoin" not in semi, plan
     rows = {r["doc_id"]: (r["n_windows"], r["n_hits"]) for r in out.collect()}
     assert rows == {1: (4, 1)}
+
+
+def test_token_windows_md5_cross_check(spark):
+    """Every gram_id emitted by token_windows equals the Python
+    hashlib.md5 of the space-joined lowercased window at that position
+    — the cross-engine key contract the DuckDB oracles rely on."""
+    import hashlib
+    import random
+
+    from casie_spark.operators.dedup import token_windows
+
+    rng = random.Random(7)
+    vocab = ["Alpha", "beta", "GAMMA", "delta-4", "e.f", "g"]
+    corpus = [(i, " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(1, 20))))
+              for i in range(12)]
+    k = 5
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["gram_id"]
+           for r in token_windows(docs, k=k).collect()}
+
+    expect = {}
+    for i, t in corpus:
+        ws = t.lower().split()
+        for p in range(len(ws) - k + 1):
+            expect[(i, p)] = hashlib.md5(
+                " ".join(ws[p:p + k]).encode()).hexdigest()
+    assert got == expect
