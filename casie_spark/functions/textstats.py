@@ -201,3 +201,48 @@ def shingle_fingerprints(words_df: DataFrame, mod: int = 16,
         )
     )
     return sh.filter(F.col("fp") % mod == 0).distinct()
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """Corpus-level unigram LM quality proxy (the unigram,
+    oracle-checkable form of the CCNet/Wenzek et al. 2020 KenLM
+    perplexity filter): add-alpha-smoothed token frequencies over the
+    WHOLE corpus, then per-document mean log10 probability.  Documents
+    far from the corpus distribution (gibberish, boilerplate-free
+    junk, wrong-language residue) score low; the complement of the
+    per-doc heuristics in quality_columns, which see one row at a
+    time and no corpus statistics.
+
+    Scale shape: per-(doc, word) counts first — one token-scale
+    exchange with map-side combine absorbing the Zipf head — then the
+    vocabulary aggregates from the counts frame (doc-word scale, not
+    token scale); the 1-row totals frame broadcast-crossjoins into the
+    per-word score, and the score joins back at doc-word scale with
+    the strategy left to Catalyst/AQE (broadcast when the vocabulary
+    fits, shuffle on the word key when it does not — crawl-scale
+    vocabularies are too big to force).  Returns
+    (doc_id, n_tokens, mean_logp10), one row per non-empty document;
+    mean_logp10 rounded to 4 (the repo's cross-engine float rule)."""
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE),
+                     lambda x: x != F.lit(""))
+        ).alias("w"),
+    )
+    dw = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = vocab.agg(F.sum("cw").alias("n_total"),
+                       F.count("*").alias("v"))
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.log10((F.col("cw") + alpha)
+                / (F.col("n_total") + alpha * (F.col("v") + 1)))
+        .alias("logp"),
+    )
+    return dw.join(scored, "w").groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.sum(F.col("c") * F.col("logp")) / F.sum("c"), 4)
+        .alias("mean_logp10"),
+    )

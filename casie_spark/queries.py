@@ -549,6 +549,19 @@ def q34_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, k=8)
 
 
+def q35_unigram_logprob(spark, sf_dir):
+    """Corpus-level unigram LM quality proxy
+    (textstats.unigram_logprob, the oracle-checkable unigram form of
+    the CCNet perplexity filter): add-alpha-smoothed corpus token
+    frequencies, per-doc mean log10 probability.  Per-(doc, word)
+    counts first (map-side combine eats the Zipf head), vocabulary
+    and totals derived from the counts frame, score join at doc-word
+    scale."""
+    from .functions.textstats import unigram_logprob
+
+    return unigram_logprob(_load(spark, sf_dir, "documents"), alpha=0.5)
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -730,6 +743,7 @@ QUERIES = {
     "q32_pii_redaction": q32_pii_redaction,
     "q33_substring_dedup": q33_substring_dedup,
     "q34_decontaminate": q34_decontaminate,
+    "q35_unigram_logprob": q35_unigram_logprob,
 }
 
 
@@ -1388,6 +1402,29 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q29_ner_lookback": _ner_lookback_oracle(),
         "q33_substring_dedup": _substring_dedup_oracle(),
         "q34_decontaminate": _decontaminate_oracle(),
+        "q35_unigram_logprob": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), dw AS (
+                SELECT doc_id, w, count(*) AS c FROM words
+                GROUP BY doc_id, w
+            ), vocab AS (
+                SELECT w, sum(c) AS cw FROM dw GROUP BY w
+            ), tot AS (
+                SELECT sum(cw) AS n_total, count(*) AS v FROM vocab
+            ), scored AS (
+                SELECT w, log10((cw + 0.5) / (n_total + 0.5 * (v + 1)))
+                       AS logp
+                FROM vocab, tot
+            )
+            SELECT dw.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * logp) / sum(c), 4) AS mean_logp10
+            FROM dw JOIN scored USING (w) GROUP BY dw.doc_id
+        """,
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -96,3 +96,23 @@ def test_redact_pii(spark):
     assert m[1]["redacted_text"] == "mail <EMAIL> or call <PHONE> via <IP>"
     assert m[2]["redacted_text"] == "no pii here at all"
     assert m[2]["n_emails"] == 0
+
+
+def test_unigram_logprob_golden(spark):
+    """Hand-computed add-0.5 unigram LM means: corpus a=2 b=2 c=1,
+    N=5, V=3, denominator 5 + 0.5*(3+1) = 7."""
+    import math
+
+    from casie_spark.functions.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a A b"), (2, "b  c")], "doc_id long, text string")
+    m = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp_ab = math.log10(2.5 / 7)   # a and b tie at count 2
+    lp_c = math.log10(1.5 / 7)
+    assert m[1]["n_tokens"] == 3
+    assert m[1]["mean_logp10"] == round(lp_ab, 4)  # (2*lp_a + lp_b)/3
+    assert m[2]["n_tokens"] == 2
+    assert m[2]["mean_logp10"] == round((lp_ab + lp_c) / 2, 4)
+    # corpus-typical doc scores higher than the rare-token doc
+    assert m[1]["mean_logp10"] > m[2]["mean_logp10"]
