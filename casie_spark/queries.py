@@ -562,6 +562,51 @@ def q35_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_load(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def q36_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster assembly: the q13 MinHash-LSH candidate-pair
+    graph closed into connected components via iterative min-label
+    propagation (canonicalize.connected_components — previously
+    exercised only rows-only through q26's canonical graph), one row
+    per clustered doc with its component id and cluster size.  The
+    DuckDB oracle rebuilds the identical pair graph and closes it with
+    a recursive CTE, so the ITERATIVE operator is hash-checked
+    end-to-end: component = min reachable doc id on both engines.
+    This is the survivorship step every doc-level dedup needs at crawl
+    scale — LSH emits pairs, but "keep one per near-dup CLUSTER"
+    requires the transitive closure (keeper = the doc whose id equals
+    its component).
+
+    Scale shape: candidate generation is the capped per-bucket
+    self-join (never all-pairs); each CC iteration is two shuffles
+    keyed on doc/label with localCheckpoint barriers (util.truncate)
+    so the plan tree stays flat; LSH components are unions of bucket
+    cliques, so the propagation converges in a handful of iterations
+    (the loop exits on a zero changed-count) independent of corpus
+    size."""
+    from .operators.canonicalize import connected_components
+    from .operators.dedup import (minhash_candidate_pairs, minhash_signature,
+                                  word_shingles, words_with_pos)
+    from .util import materialize
+
+    d = _load(spark, sf_dir, "documents")
+    sig = minhash_signature(word_shingles(words_with_pos(d), 3), 4)
+    # materialize the pair frame: vertices (a union reading it twice),
+    # the symmetrized edge frame, and the initial labels would
+    # otherwise each replay the shingle->signature->self-join subtree
+    pairs = materialize(minhash_candidate_pairs(sig, 4))
+    verts = (pairs.select(F.col("doc_a").alias("doc"))
+             .union(pairs.select("doc_b")).distinct())
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        verts, id_col="doc", max_iter=40)
+    return comp.select(
+        F.col("doc").alias("doc_id"), "component",
+        F.count("*").over(Window.partitionBy("component"))
+        .cast("long").alias("cluster_size"),
+    )
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -744,6 +789,7 @@ QUERIES = {
     "q33_substring_dedup": q33_substring_dedup,
     "q34_decontaminate": q34_decontaminate,
     "q35_unigram_logprob": q35_unigram_logprob,
+    "q36_neardup_clusters": q36_neardup_clusters,
 }
 
 
@@ -1081,6 +1127,64 @@ def _fingerprints_oracle() -> str:
         )
         SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
         FROM fps GROUP BY doc_id
+    """
+
+
+def _neardup_clusters_oracle() -> str:
+    """q36: the q13 signature/pair CTEs (identical shingle, seeded-md5
+    min and bucket-cap semantics) closed with a recursive CTE —
+    component = min doc id reachable in the candidate-pair graph,
+    matching connected_components' min-label propagation fixpoint."""
+    return """
+        WITH RECURSIVE words AS (
+            SELECT doc_id, w, pos FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                       generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+                FROM documents) t
+        ), sh AS (
+            SELECT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+                   lead(w, 2) OVER win AS w2
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0' || '|' || shingle)) AS minh0,
+                   min(md5('1' || '|' || shingle)) AS minh1,
+                   min(md5('2' || '|' || shingle)) AS minh2,
+                   min(md5('3' || '|' || shingle)) AS minh3
+            FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id
+        ), unp AS (
+            SELECT doc_id AS doc, 0 AS band, minh0 AS bucket FROM sig
+            UNION ALL SELECT doc_id, 1, minh1 FROM sig
+            UNION ALL SELECT doc_id, 2, minh2 FROM sig
+            UNION ALL SELECT doc_id, 3, minh3 FROM sig
+        ), capped AS (
+            SELECT doc, band, bucket FROM (
+                SELECT doc, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM unp) t
+            WHERE bsz <= 1000
+        ), pairs AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM capped a JOIN capped b USING (band, bucket)
+            WHERE a.doc < b.doc
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ), comp AS (
+            SELECT node AS doc_id, min(lbl) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, component,
+               CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                   AS cluster_size
+        FROM comp
     """
 
 
@@ -1425,6 +1529,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
                    round(sum(c * logp) / sum(c), 4) AS mean_logp10
             FROM dw JOIN scored USING (w) GROUP BY dw.doc_id
         """,
+        "q36_neardup_clusters": _neardup_clusters_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
