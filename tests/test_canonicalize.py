@@ -48,6 +48,51 @@ def test_connected_components_chain(spark):
     assert comp[99] == 99
 
 
+def test_connected_components_random_differential(spark):
+    """Seeded random graphs vs a pure-Python union-find: every vertex
+    must land in component = min reachable id (the q36 oracle's
+    recursive-CTE contract).  Three regimes: sparse (many singleton
+    components), dense (one giant component), and a 12-node path
+    (worst-case diameter for min-label propagation — exercises the
+    iteration loop, not just the clique-ish LSH shape)."""
+    import random
+
+    def unionfind(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id per root
+        comp = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+    cases = []
+    rng = random.Random(36)
+    for n, m in ((30, 12), (25, 60)):
+        cases.append((n, [(rng.randrange(n), rng.randrange(n))
+                          for _ in range(m)]))
+    cases.append((12, [(i, i + 1) for i in range(11)]))  # path graph
+
+    for n, raw in cases:
+        edges_py = [(a, b) for a, b in raw if a != b]
+        want = unionfind(n, edges_py)
+        edges = spark.createDataFrame(edges_py or [(0, 0)], "src long, dst long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "sid long")
+        got = {r["sid"]: r["component"]
+               for r in connected_components(edges, verts, max_iter=40).collect()}
+        assert got == want
+
+
 def test_canonicalize_end_to_end(spark):
     ents = spark.createDataFrame(
         [("CVE-2020-1000",), ("Adobe",), ("acme corp",), ("acme corporation",),
