@@ -607,6 +607,42 @@ def q36_neardup_clusters(spark, sf_dir):
     )
 
 
+def q37_url_dedup(spark, sf_dir):
+    """URL-level dedup (functions.urlnorm): canonicalize page URLs —
+    fragment / scheme+host case / default port / www. / utm-gclid-
+    fbclid tracking params / trailing slash — and group equivalent
+    addresses (the no-text first pass of every crawl pipeline; CCNet
+    and RefinedWeb both dedup on the normalized URL before reading a
+    byte of body).  The synthetic corpus has no url column, so four
+    URL variants per canonical target are synthesized DETERMINISTICALLY
+    from doc_id (the identical CASE chain runs in the oracle — the
+    q29 rewrite pattern), covering every normalization branch: kept
+    query params, mid-string and trailing tracking params, upper-case
+    scheme+host, both default ports, www. and fragments.  Map-only
+    until the one groupBy on the uniformly-hashed canonical string."""
+    from .functions.urlnorm import url_duplicates
+
+    d = _load(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 4").cast("string")
+    m = F.col("doc_id") % 4
+    host = F.concat(F.lit("example-"),
+                    F.expr("(doc_id div 4) % 7").cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/page/"), k)
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), host, path,
+                                F.lit("?q="), k))
+        .when(m == 1, F.concat(F.upper(F.concat(F.lit("https://www."), host)),
+                               F.lit(":443"), path,
+                               F.lit("?utm_source=feed&q="), k))
+        .when(m == 2, F.concat(F.lit("http://"), host, F.lit(":80"),
+                               path, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://www."), host, path,
+                            F.lit("?gclid=xyz123#frag")))
+    )
+    return url_duplicates(d.select("doc_id", url.alias("url")))
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -790,6 +826,7 @@ QUERIES = {
     "q34_decontaminate": q34_decontaminate,
     "q35_unigram_logprob": q35_unigram_logprob,
     "q36_neardup_clusters": q36_neardup_clusters,
+    "q37_url_dedup": q37_url_dedup,
 }
 
 
@@ -1188,6 +1225,37 @@ def _neardup_clusters_oracle() -> str:
     """
 
 
+def _url_dedup_oracle() -> str:
+    """q37: the identical URL-variant CASE chain + the shared
+    canonicalization (functions.urlnorm.canonical_url_sql — RE2 twin
+    of the Java-regex column chain) + the dedup groupBy."""
+    from .functions.urlnorm import canonical_url_sql
+
+    return f"""
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://example-' || ((doc_id // 4) % 7)
+                          || '.com/page/' || (doc_id // 4)
+                          || '?q=' || (doc_id // 4)
+                     WHEN 1 THEN upper('https://www.example-'
+                          || ((doc_id // 4) % 7) || '.com')
+                          || ':443/page/' || (doc_id // 4)
+                          || '?utm_source=feed&q=' || (doc_id // 4)
+                     WHEN 2 THEN 'http://example-' || ((doc_id // 4) % 7)
+                          || '.com:80/page/' || (doc_id // 4) || '/'
+                     ELSE 'http://www.example-' || ((doc_id // 4) % 7)
+                          || '.com/page/' || (doc_id // 4)
+                          || '?gclid=xyz123#frag'
+                   END AS url
+            FROM documents
+        )
+        SELECT {canonical_url_sql("url")} AS canonical_url,
+               count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+        FROM urls GROUP BY 1 HAVING count(*) > 1
+    """
+
+
 def _token_windows_cte(k: int = 8) -> str:
     """Shared words+grams CTE for the substring-dedup/decontamination
     oracles: mirrors dedup.token_windows (lowercase, whitespace split,
@@ -1530,6 +1598,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
             FROM dw JOIN scored USING (w) GROUP BY dw.doc_id
         """,
         "q36_neardup_clusters": _neardup_clusters_oracle(),
+        "q37_url_dedup": _url_dedup_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
