@@ -108,6 +108,45 @@ def stream_window_counts(docs: DataFrame, out_dir: str,
     )
 
 
+def dedup_stream(docs: DataFrame, watermark: str = "24 hours",
+                 key_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: drop re-fetches of the same content
+    arriving within the watermark horizon (a crawler re-visits hot
+    pages constantly; the batch-side analog is
+    dedup.drop_exact_duplicates).  Keyed on md5(text) by default —
+    pass ``key_cols`` to dedup on e.g. a canonical url instead
+    (functions.urlnorm.canonical_url).
+
+    Uses ``dropDuplicatesWithinWatermark``: the state store holds ONE
+    entry per distinct key seen in the last `watermark` of event time
+    and evicts it when the watermark passes — state is O(distinct keys
+    per horizon), not O(stream), which is what makes streaming dedup
+    viable on an unbounded crawl.  Plain ``dropDuplicates`` on a
+    stream would retain every key forever."""
+    keyed = docs.withColumn("content_hash", F.md5("text"))
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols or ["content_hash"])
+    )
+
+
+def stream_deduped(docs: DataFrame, out_dir: str, checkpoint_dir: str,
+                   watermark: str = "24 hours") -> StreamingQuery:
+    """Run the streaming dedup with availableNow + append mode; the
+    checkpoint carries the key state across restarts, so a resumed
+    crawl ingest keeps suppressing duplicates it saw before the
+    restart."""
+    return (
+        dedup_stream(docs, watermark).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
 def run_available_now(query: StreamingQuery, timeout_s: int = 300) -> None:
     """Drain the source and stop (test/backfill helper)."""
     query.awaitTermination(timeout_s)

@@ -60,6 +60,49 @@ def test_stream_triples_matches_batch_and_resumes(spark, tmp_path):
     assert _triple_set(streamed2) == _triple_set(run_pipeline(all_docs))
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup must suppress duplicates both WITHIN a
+    micro-batch and ACROSS micro-batches (state carried by the
+    checkpointed state store), keeping exactly one row per distinct
+    text."""
+    import datetime as dt
+    import time
+
+    from casie_spark.streaming.ingest import stream_deduped
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    base = dt.datetime(2024, 1, 1)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    # batch 1: texts t0..t4, each fetched twice (within-batch dups)
+    rows1 = [(f"https://e/{i}", base + dt.timedelta(minutes=i), b"",
+              f"text {i % 5}", "en") for i in range(10)]
+    # batch 2: re-fetches of t0..t4 (cross-batch dups, inside the
+    # watermark) + new texts t5..t7
+    rows2 = [(f"https://e/{10 + i}", base + dt.timedelta(minutes=30 + i),
+              b"", f"text {i}", "en") for i in range(8)]
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    time.sleep(0.2)  # the file source orders batches by mtime
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    q = stream_deduped(
+        stream_documents(spark, src, max_files_per_trigger=1), out, ckpt)
+    run_available_now(q)
+
+    got = spark.read.parquet(out)
+    texts = [r["text"] for r in got.select("text").collect()]
+    assert sorted(texts) == sorted(f"text {i}" for i in range(8))
+    # survivors of cross-batch dups must be the FIRST arrival (batch 1)
+    first_urls = {r["url"] for r in got.collect() if r["text"] < "text 5"}
+    assert all(int(u.rsplit("/", 1)[1]) < 10 for u in first_urls)
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "wsrc")
     out = str(tmp_path / "wout")
