@@ -194,6 +194,42 @@ def ngram_jaccard(docs: DataFrame, n: int = 3, n_hashes: int = 4,
     )
 
 
+def drop_neardup_duplicates(docs: DataFrame, jaccard_threshold: float = 0.8,
+                            n: int = 3, n_hashes: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The full doc-level near-dup pass, end to end: MinHash-LSH
+    candidates -> exact n-gram Jaccard verification (>= threshold) ->
+    connected components over the VERIFIED pair graph -> keep one doc
+    (min id) per cluster.  Returns the deduplicated corpus with the
+    input schema (what a training-data pipeline actually feeds
+    downstream; the q36 cluster map is the audit view of the same
+    closure, on unverified candidates).
+
+    Verification before clustering matters: LSH candidates merely
+    shared one min-shingle, and transitively closing UNVERIFIED pairs
+    chains unrelated docs together (the classic over-merging failure);
+    only pairs whose true Jaccard clears the threshold become edges.
+    Scale shape: inherits ngram_jaccard's single shingle-scale shuffle
+    + pair-scale intersection; the CC runs on the (small) verified
+    edge set with localCheckpoint barriers; the final anti-join
+    broadcasts the drop list when AQE sees it is small."""
+    from ..util import materialize
+    from .canonicalize import connected_components
+
+    edges = materialize(
+        ngram_jaccard(docs, n, n_hashes, text_col, id_col)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    verts = (edges.select(F.col("src").alias("doc"))
+             .union(edges.select("dst")).distinct())
+    comp = connected_components(edges, verts, id_col="doc", max_iter=40)
+    drop = (comp.filter(F.col("doc") != F.col("component"))
+            .select(F.col("doc").alias(id_col)))
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # mixture weighting
 # ---------------------------------------------------------------------------

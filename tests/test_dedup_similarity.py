@@ -65,6 +65,22 @@ def test_ngram_jaccard(spark):
     assert 0.0 < j[(1, 3)] < 1.0  # near dup: partial overlap
 
 
+def test_drop_neardup_duplicates(spark):
+    """End-to-end near-dup pass: exact dup 2 is dropped (Jaccard 1.0
+    with keeper 1), the merely-similar doc 3 SURVIVES at a high
+    threshold (verification gates the edge — LSH candidacy alone must
+    not kill it), and at a loose threshold the whole cluster {1,2,3}
+    collapses to its min id.  Schema is preserved."""
+    from casie_spark.operators.dedup import drop_neardup_duplicates
+
+    strict = drop_neardup_duplicates(_docs(spark), jaccard_threshold=0.95)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [1, 3, 4]
+    assert strict.columns == ["doc_id", "text"]
+
+    loose = drop_neardup_duplicates(_docs(spark), jaccard_threshold=0.3)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [1, 4]
+
+
 def test_minhash_bucket_cap_bounds_skew(spark):
     """k docs sharing a min-shingle would emit k² candidate pairs; the
     max_bucket guard drops the over-full bucket instead (VERDICT r1 #5)."""
