@@ -30,6 +30,11 @@ HEADLINE = [
     "q21_ann_lsh", "q29_ner_lookback",
 ]
 
+# recorded per-query (timings + trials) but NOT in headline_suite_wall,
+# which keeps its round-1 composition for cross-round comparability —
+# same contract as pipeline_model_inference below
+EXTRA = ["q36_neardup_clusters", "q37_url_dedup"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,20 +67,21 @@ def main() -> None:
     from casie_spark.util import track_persists
 
     n_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
-    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE + EXTRA}
     rows: dict[str, int] = {}
     for _sweep in range(n_trials):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTRA:
             with track_persists():
                 t0 = time.perf_counter()
                 rows[name] = QUERIES[name](spark, sf_dir).count()
                 trials[name].append(round(time.perf_counter() - t0, 3))
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         best = min(trials[name])
         timings[name] = round(best, 3)
-        total += best
+        if name in HEADLINE:
+            total += best
         print(f"# {name}: {best:.3f}s rows={rows[name]} "
               f"trials={trials[name]}", file=sys.stderr)
 
