@@ -68,6 +68,53 @@ def canonical_url_sql(expr: str) -> str:
     return f"regexp_replace({prefix} || {rest}, '/$', '', 'g')"
 
 
+def url_host(col: Column | str) -> Column:
+    """Lowercased authority without the port (group-1 extract stops at
+    '/', ':', '?' or '#')."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(u, r"://([^/:?#]+)", 1))
+
+
+def host_suffixes(host: Column) -> Column:
+    """Every dot-suffix of a host name, most-specific first:
+    ads.example.com -> [ads.example.com, example.com, com].  Blocklist
+    matching is SUFFIX matching (an entry blocks all its subdomains),
+    so the join key is the exploded suffix, never a LIKE scan."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.array_join(F.slice(labels, i, n), "."))
+
+
+def filter_blocked_hosts(docs: DataFrame, blocklist: DataFrame | list[str],
+                         url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose URL host matches a blocklist entry or any
+    of its subdomains (the RefinedWeb/C4 URL-filter step — run before
+    reading a byte of body text).
+
+    Scale shape: each doc explodes into at most label-count suffix
+    rows (hosts have ~2-5 labels — a bounded fan-out, unlike a
+    LIKE-per-entry scan which is O(corpus × blocklist)); the suffix
+    rows semi-join the blocklist, which Spark broadcasts (a blocklist
+    is millions of rows at worst, far under the broadcast threshold's
+    reach with AQE); the surviving ids anti-join back on the id
+    column.  The doc body is never shuffled — only (id, suffix)."""
+    if isinstance(blocklist, list):
+        blocklist = docs.sparkSession.createDataFrame(
+            [(h.lower(),) for h in blocklist], "suffix string")
+    else:
+        blocklist = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("suffix"))
+    sufs = host_suffixes(url_host(url_col))
+    bad = (
+        docs.select(id_col, F.explode(sufs).alias("suffix"))
+        .join(F.broadcast(blocklist), "suffix", "left_semi")
+        .select(id_col).distinct()
+    )
+    return docs.join(bad, id_col, "left_anti")
+
+
 def url_duplicates(docs: DataFrame, url_col: str = "url",
                    id_col: str = "doc_id") -> DataFrame:
     """Groups of URL-equivalent documents: (canonical_url, n_copies,

@@ -643,6 +643,44 @@ def q37_url_dedup(spark, sf_dir):
     return url_duplicates(d.select("doc_id", url.alias("url")))
 
 
+# hosts blocked by q38 on both engines (suffix semantics: an entry
+# blocks itself and every subdomain)
+_BLOCKED_HOSTS = ["example-2.com", "tracker-3.net"]
+
+
+def q38_host_blocklist(spark, sf_dir):
+    """URL blocklist filtering (functions.urlnorm.filter_blocked_hosts
+    — the RefinedWeb/C4 pre-fetch URL filter): drop docs whose host
+    matches a blocklist entry or any subdomain of it.  Suffix matching
+    runs as a bounded explode (one row per host label) + broadcast
+    semi-join — never a LIKE scan per entry.  URLs are synthesized
+    deterministically (the q29/q37 pattern; the identical CASE chain
+    runs in the oracle) with subdomain, upper-case and port variants
+    so the suffix/case/port paths all exercise.  Returns per-host kept
+    counts + an id checksum over the SURVIVORS."""
+    from .functions.urlnorm import filter_blocked_hosts, url_host
+
+    d = _load(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 3")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://ads.example-"),
+                                (k % 7).cast("string"), F.lit(".com/x")))
+        .when(m == 1, F.concat(F.lit("https://WWW.EXAMPLE-"),
+                               (k % 7).cast("string"),
+                               F.lit(".COM:443/y")))
+        .otherwise(F.concat(F.lit("https://tracker-"),
+                            (k % 5).cast("string"),
+                            F.lit(".net/z?id="), k.cast("string")))
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    kept = filter_blocked_hosts(docs, _BLOCKED_HOSTS)
+    return kept.groupBy(url_host("url").alias("host")).agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 # per-source mixture quotas shared by q30's Spark side and oracle
 _QUOTAS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _DEFAULT_QUOTA = 0.6
@@ -827,6 +865,7 @@ QUERIES = {
     "q35_unigram_logprob": q35_unigram_logprob,
     "q36_neardup_clusters": q36_neardup_clusters,
     "q37_url_dedup": q37_url_dedup,
+    "q38_host_blocklist": q38_host_blocklist,
 }
 
 
@@ -1256,6 +1295,45 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _host_blocklist_oracle() -> str:
+    """q38: identical URL synthesis, host extraction, dot-suffix
+    expansion and suffix-blocklist semantics in DuckDB list functions."""
+    blocked = ", ".join(f"('{h}')" for h in _BLOCKED_HOSTS)
+    return f"""
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'https://ads.example-'
+                          || ((doc_id // 3) % 7) || '.com/x'
+                     WHEN 1 THEN 'https://WWW.EXAMPLE-'
+                          || ((doc_id // 3) % 7) || '.COM:443/y'
+                     ELSE 'https://tracker-' || ((doc_id // 3) % 5)
+                          || '.net/z?id=' || (doc_id // 3)
+                   END AS url
+            FROM documents
+        ), hosts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host
+            FROM urls
+        ), sufs AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(host, '.')) + 1),
+                       i -> array_to_string(string_split(host, '.')[i:], '.')
+                   )) AS suffix
+            FROM hosts
+        ), blocked(suffix) AS (VALUES {blocked}),
+        bad AS (
+            SELECT DISTINCT doc_id FROM sufs JOIN blocked USING (suffix)
+        )
+        SELECT host, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM hosts
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        GROUP BY host
+    """
+
+
 def _token_windows_cte(k: int = 8) -> str:
     """Shared words+grams CTE for the substring-dedup/decontamination
     oracles: mirrors dedup.token_windows (lowercase, whitespace split,
@@ -1599,6 +1677,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         """,
         "q36_neardup_clusters": _neardup_clusters_oracle(),
         "q37_url_dedup": _url_dedup_oracle(),
+        "q38_host_blocklist": _host_blocklist_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

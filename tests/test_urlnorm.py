@@ -56,6 +56,29 @@ def test_canonical_url_golden_duckdb():
         assert got == want, (u, got, want)
 
 
+def test_filter_blocked_hosts(spark):
+    """Suffix semantics: an entry blocks itself and every subdomain,
+    case-insensitively, but NOT a host that merely ends with the same
+    string without a dot boundary (notexample-2.com survives)."""
+    from casie_spark.functions.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://example-2.com/x"),
+         (2, "https://ads.EXAMPLE-2.com/y"),
+         (3, "https://notexample-2.com/z"),
+         (4, "https://safe.org/ok"),
+         (5, "https://a.b.tracker.net/q?id=1")],
+        "doc_id long, url string",
+    )
+    kept = filter_blocked_hosts(df, ["Example-2.com", "tracker.net"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+
+    # DataFrame blocklist path (first column = host suffix)
+    bl = spark.createDataFrame([("SAFE.org",)], "host string")
+    kept2 = filter_blocked_hosts(df, bl)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2, 3, 5]
+
+
 def test_url_duplicates_groups(spark):
     df = spark.createDataFrame(
         [(1, "https://www.a.com/x?utm_source=f"),
