@@ -148,6 +148,26 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     assert "windowspecdefinition(doc_id" in plan
 
 
+def test_url_ops_prune_to_id_column(spark, sf_dir):
+    """q37/q38: the URL ops synthesize from doc_id, so EVERY parquet
+    scan must prune to struct<doc_id> — at crawl scale these run
+    before any text is read, and a scan that drags `text` along
+    defeats the point.  q38's blocklist must arrive as a broadcast
+    semi-join (never a per-entry LIKE scan or a shuffled join)."""
+    p37 = _plan(QUERIES["q37_url_dedup"](spark, sf_dir))
+    for seg in p37.split("ReadSchema")[1:]:
+        assert seg.split("\n")[0].strip().strip(":").strip() == \
+            "struct<doc_id:bigint>", p37
+    # one exchange: the groupBy on the canonical string
+    assert p37.count("Exchange hashpartitioning") == 1, p37
+
+    p38 = _plan(QUERIES["q38_host_blocklist"](spark, sf_dir))
+    for seg in p38.split("ReadSchema")[1:]:
+        assert seg.split("\n")[0].strip().strip(":").strip() == \
+            "struct<doc_id:bigint>", p38
+    assert "BroadcastHashJoin" in p38 and "LeftSemi" in p38, p38
+
+
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     """q34: the eval-benchmark gram set is explicitly broadcast into a
     LeftSemi hash join, so the train token stream shuffles only for
