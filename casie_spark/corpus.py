@@ -1,0 +1,127 @@
+"""The composed corpus-hygiene pipeline: raw crawl table in, training
+corpus out.
+
+Every stage is an operator that is individually oracle-checked through
+the driver contract (q09/q11/q13/q19/q30/q31/q32/q33/q34/q36/q37/q38);
+this module only sequences them in the order published pipelines
+(C4, CCNet, Gopher, RefinedWeb, Dolma) apply them:
+
+1. host blocklist        (urlnorm.filter_blocked_hosts — no text read)
+2. URL-level dedup       (urlnorm.canonical_url keeper window)
+3. exact text dedup      (dedup.drop_exact_duplicates)
+4. quality gates         (textstats.quality_columns: tokens + score)
+5. repetition gates      (textstats.repetition_columns, Gopher A1.1)
+6. fuzzy near-dup drop   (dedup.drop_neardup_duplicates: LSH ->
+                          Jaccard-verified -> connected components)
+7. decontamination       (dedup.decontaminate vs an eval/benchmark set)
+8. mixture quotas        (dedup.quota_sample, map-only)
+9. PII redaction         (redact.redact_pii — transform, not filter)
+
+Scale notes: stages 1-8 never append columns to the corpus frame —
+each gate computes its verdict on an (id, text) projection and comes
+back as a semi/anti-join on the uniformly-hashed id, so the wide doc
+row (html payload etc.) is shuffled at most by the joins Catalyst
+actually needs and the output schema equals the input schema.  Every
+gate that references the corpus frame MORE THAN ONCE (verdict subtree
++ join-back) sits behind a :func:`casie_spark.util.truncate` lineage
+barrier — without it each stage embeds the previous stage's tree
+twice and the logical plan grows exponentially (measured: a 118 MB
+plan render by stage 7 on an 11-row corpus; the repo's barrier policy
+in CLAUDE.md exists for exactly this).  The barriers make each stage
+an eager job, which is also what ``with_report=True`` needs — its
+per-stage counts then cost one cached-scan action each instead of
+re-evaluating the chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    *,
+    blocklist: list[str] | DataFrame | None = None,
+    url_dedup: bool | None = None,
+    min_tokens: int = 5,
+    min_quality: float | None = 0.3,
+    max_dup_bigram_frac: float | None = 0.5,
+    max_top_word_frac: float | None = 0.8,
+    neardup_threshold: float | None = None,
+    eval_set: DataFrame | None = None,
+    quotas: dict[str, float] | None = None,
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    with_report: bool = False,
+):
+    """Run the hygiene chain (module docstring) and return the cleaned
+    corpus with the INPUT schema; with ``with_report=True`` returns
+    ``(corpus, {stage: surviving_rows})`` instead.  Pass None to skip
+    any gate; ``url_dedup=None`` auto-enables when ``url_col`` exists."""
+    from .functions.redact import redact_pii
+    from .functions.textstats import quality_columns, repetition_columns
+    from .functions.urlnorm import (canonical_url, filter_blocked_hosts)
+    from .operators.dedup import (decontaminate, drop_exact_duplicates,
+                                  drop_neardup_duplicates, quota_sample)
+    from .util import truncate
+
+    report: dict[str, int] = {}
+
+    def step(name: str, df: DataFrame) -> DataFrame:
+        if with_report:
+            report[name] = df.count()
+        return df
+
+    out = step("input", docs)
+    if blocklist is not None:
+        out = step("host_blocklist",
+                   filter_blocked_hosts(truncate(out), blocklist,
+                                        url_col, id_col))
+    if url_dedup is None:
+        url_dedup = url_col in out.columns
+    if url_dedup:
+        w = Window.partitionBy(canonical_url(url_col)).orderBy(id_col)
+        out = step("url_dedup",
+                   out.withColumn("_rk", F.row_number().over(w))
+                   .filter("_rk = 1").drop("_rk"))
+    out = step("exact_dedup", drop_exact_duplicates(out, text_col, id_col))
+    if min_tokens or min_quality is not None:
+        out = truncate(out)
+        q = quality_columns(out.select(id_col, text_col), text_col)
+        keep = q.filter(
+            (F.col("n_tokens") >= int(min_tokens or 0))
+            & (F.col("quality_score") >= float(min_quality or 0.0))
+        ).select(id_col)
+        out = step("quality", out.join(keep, id_col, "left_semi"))
+    if max_dup_bigram_frac is not None or max_top_word_frac is not None:
+        out = truncate(out)
+        r = repetition_columns(out.select(id_col, text_col), text_col, id_col)
+        cond = F.lit(False)
+        if max_dup_bigram_frac is not None:
+            cond = cond | (F.col("dup_bigram_frac") > max_dup_bigram_frac)
+        if max_top_word_frac is not None:
+            cond = cond | (F.col("top_word_frac") > max_top_word_frac)
+        out = step("repetition",
+                   out.join(r.filter(cond).select(id_col), id_col, "left_anti"))
+    if neardup_threshold is not None:
+        out = step("neardup",
+                   drop_neardup_duplicates(truncate(out), neardup_threshold,
+                                           text_col=text_col, id_col=id_col))
+    if eval_set is not None:
+        out = truncate(out)
+        hits = decontaminate(out, eval_set, text_col=text_col,
+                             id_col=id_col).select(id_col)
+        out = step("decontaminate", out.join(hits, id_col, "left_anti"))
+    if quotas:
+        out = step("quota", quota_sample(out, quotas, id_col=id_col))
+    if redact:
+        cols = out.columns
+        red = redact_pii(out, text_col)
+        out = step("redact",
+                   red.drop(text_col, "n_emails", "n_ips", "n_phones")
+                   .withColumnRenamed("redacted_text", text_col)
+                   .select(*cols))
+    return (out, report) if with_report else out

@@ -213,11 +213,15 @@ def drop_neardup_duplicates(docs: DataFrame, jaccard_threshold: float = 0.8,
     Scale shape: inherits ngram_jaccard's single shingle-scale shuffle
     + pair-scale intersection; the CC runs on the (small) verified
     edge set with localCheckpoint barriers; the final anti-join
-    broadcasts the drop list when AQE sees it is small."""
-    from ..util import materialize
+    broadcasts the drop list when AQE sees it is small.  The edge
+    frame is truncate()d, not materialize()d: every CC iteration's
+    plan references it, and with persist alone each iteration would
+    re-render the whole jaccard subtree (multi-MB plan strings —
+    the barrier-policy regression CLAUDE.md gates on)."""
+    from ..util import truncate
     from .canonicalize import connected_components
 
-    edges = materialize(
+    edges = truncate(
         ngram_jaccard(docs, n, n_hashes, text_col, id_col)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -1,0 +1,95 @@
+"""corpus.prepare_training_corpus: the composed hygiene chain drops
+exactly the planted offenders, stage by stage, and preserves the
+input schema."""
+
+from __future__ import annotations
+
+from casie_spark.corpus import prepare_training_corpus
+
+# distinct survivor bodies (enough stopwords/alpha to pass quality,
+# no shared shingles so the near-dup gate cannot chain them)
+T1 = ("the report describes a new analysis of the network data and "
+      "the results are clear")
+T2 = ("a second article explains the storage system and how the cache "
+      "behaves under heavy load")
+T3 = ("the third page talks about weather patterns and the ocean "
+      "currents in the north sea")
+T4 = ("the fourth body text differs from the first but the address "
+      "points at the same page")
+NEAR_A = ("the quick brown fox jumps over the lazy dog and runs far "
+          "away into the hills today")
+NEAR_B = ("the quick brown fox jumps over the lazy dog and runs far "
+          "away into the hills tonight")
+EVAL_TXT = ("question one two three four five six seven eight nine ten "
+            "answer")
+T11 = ("the contact page lists bob@example.com as the address for all "
+       "the support questions")
+
+
+def _docs(spark):
+    rows = [
+        # survivors
+        (1, "https://good.org/a", T1, "src0"),
+        (2, "https://good.org/b", T2, "src0"),
+        # blocked host (subdomain of a blocklist entry)
+        (3, "https://ads.spam.com/x", T3, "src0"),
+        # url-dup of doc 1 (www + tracking param + fragment)
+        (4, "https://www.good.org/a?utm_source=f#top", T4, "src0"),
+        # exact text dup of doc 2
+        (5, "https://good.org/c", T2, "src0"),
+        # too short: fails the min-token quality gate
+        (6, "https://good.org/d", "ok", "src0"),
+        # boilerplate: passes quality, fails the dup-bigram gate
+        (7, "https://good.org/e", "buy the item " * 10, "src0"),
+        # near-dup pair: 8 survives (min id), 9 drops
+        (8, "https://good.org/f", NEAR_A, "src0"),
+        (9, "https://good.org/g", NEAR_B, "src0"),
+        # contaminated: shares an 8-token window with the eval set
+        (10, "https://good.org/h",
+         "the benchmark " + EVAL_TXT + " is listed here", "src0"),
+        # PII survivor: email must be redacted, row kept
+        (11, "https://good.org/i", T11, "src0"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, text string, source string")
+
+
+def test_prepare_training_corpus_stages(spark):
+    eval_set = spark.createDataFrame(
+        [(100, EVAL_TXT)], "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        _docs(spark),
+        blocklist=["spam.com"],
+        neardup_threshold=0.5,
+        eval_set=eval_set,
+        redact=True,
+        with_report=True,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 2, 8, 11]
+    # schema preserved, order included
+    assert out.columns == ["doc_id", "url", "text", "source"]
+    # the PII survivor is redacted in place
+    assert "<EMAIL>" in rows[11]["text"]
+    assert "bob@example.com" not in rows[11]["text"]
+    # the report tells the story stage by stage
+    assert report["input"] == 11
+    assert report["host_blocklist"] == 10      # -3
+    assert report["url_dedup"] == 9            # -4 (canonical twin of 1)
+    assert report["exact_dedup"] == 8          # -5
+    assert report["quality"] == 7              # -6
+    assert report["repetition"] == 6           # -7
+    assert report["neardup"] == 5              # -9
+    assert report["decontaminate"] == 4        # -10
+    assert report["redact"] == 4
+
+
+def test_prepare_training_corpus_default_gates(spark):
+    """Disabled gates change nothing: with url dropped and every
+    optional gate off, only exact text dedup applies."""
+    df = prepare_training_corpus(
+        _docs(spark).drop("url"), url_dedup=None, redact=False,
+        min_quality=None, min_tokens=0, max_dup_bigram_frac=None,
+        max_top_word_frac=None)
+    assert sorted(r["doc_id"] for r in df.collect()) == [
+        1, 2, 3, 4, 6, 7, 8, 9, 10, 11]

@@ -56,6 +56,16 @@ def test_canonical_url_golden_duckdb():
         assert got == want, (u, got, want)
 
 
+def test_canonical_url_idempotent(spark):
+    """Canonical forms are fixed points: applying the chain to its own
+    output changes nothing (a second normalization pass in a composed
+    pipeline must be a no-op)."""
+    df = spark.createDataFrame([(want,) for _, want in GOLDEN], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in GOLDEN]
+
+
 def test_filter_blocked_hosts(spark):
     """Suffix semantics: an entry blocks itself and every subdomain,
     case-insensitively, but NOT a host that merely ends with the same
