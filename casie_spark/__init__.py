@@ -18,6 +18,8 @@ Layout
 - ``operators``  dataflow stages (tokenizer, span assembly, tagging, linking,
                  rules, roles, realis, coref, canonicalize, dedup, similarity)
 - ``pipeline``   end-to-end DAG documents -> triples
+- ``corpus``     composed training-data hygiene chain (gates in
+                 published-pipeline order behind lineage barriers)
 - ``scoring``    score.py-faithful mention F1 + triple-set P/R
 - ``streaming``  incremental ingestion wrapper (foreachBatch + manifests)
 - ``manifests``  per-partition lineage + checkpoint-resume
