@@ -33,7 +33,8 @@ HEADLINE = [
 # recorded per-query (timings + trials) but NOT in headline_suite_wall,
 # which keeps its round-1 composition for cross-round comparability —
 # same contract as pipeline_model_inference below
-EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist"]
+EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist",
+         "q39_corpus_hygiene"]
 
 
 def main() -> None:

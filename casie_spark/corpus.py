@@ -51,6 +51,7 @@ def prepare_training_corpus(
     neardup_threshold: float | None = None,
     eval_set: DataFrame | None = None,
     quotas: dict[str, float] | None = None,
+    default_quota: float = 1.0,
     redact: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -116,7 +117,8 @@ def prepare_training_corpus(
                              id_col=id_col).select(id_col)
         out = step("decontaminate", out.join(hits, id_col, "left_anti"))
     if quotas:
-        out = step("quota", quota_sample(out, quotas, id_col=id_col))
+        out = step("quota", quota_sample(out, quotas, id_col=id_col,
+                                         default_quota=default_quota))
     if redact:
         cols = out.columns
         red = redact_pii(out, text_col)

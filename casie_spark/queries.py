@@ -607,29 +607,21 @@ def q36_neardup_clusters(spark, sf_dir):
     )
 
 
-def q37_url_dedup(spark, sf_dir):
-    """URL-level dedup (functions.urlnorm): canonicalize page URLs —
-    fragment / scheme+host case / default port / www. / utm-gclid-
-    fbclid tracking params / trailing slash — and group equivalent
-    addresses (the no-text first pass of every crawl pipeline; CCNet
-    and RefinedWeb both dedup on the normalized URL before reading a
-    byte of body).  The synthetic corpus has no url column, so four
-    URL variants per canonical target are synthesized DETERMINISTICALLY
-    from doc_id (the identical CASE chain runs in the oracle — the
-    q29 rewrite pattern), covering every normalization branch: kept
-    query params, mid-string and trailing tracking params, upper-case
-    scheme+host, both default ports, www. and fragments.  Map-only
-    until the one groupBy on the uniformly-hashed canonical string."""
-    from .functions.urlnorm import url_duplicates
-
-    d = _load(spark, sf_dir, "documents")
+def _variant_url():
+    """Deterministic URL synthesis shared by q37 and q39 (the
+    synthetic corpus has no url column): four URL variants per
+    canonical target, keyed by doc_id, covering every normalization
+    branch — kept query params, mid-string and trailing tracking
+    params, upper-case scheme+host, both default ports, www. and
+    fragments.  The identical CASE chain runs in the oracles
+    (_VARIANT_URL_SQL) — the q29 rewrite pattern."""
     k = F.expr("doc_id div 4").cast("string")
     m = F.col("doc_id") % 4
     host = F.concat(F.lit("example-"),
                     F.expr("(doc_id div 4) % 7").cast("string"),
                     F.lit(".com"))
     path = F.concat(F.lit("/page/"), k)
-    url = (
+    return (
         F.when(m == 0, F.concat(F.lit("https://"), host, path,
                                 F.lit("?q="), k))
         .when(m == 1, F.concat(F.upper(F.concat(F.lit("https://www."), host)),
@@ -640,7 +632,35 @@ def q37_url_dedup(spark, sf_dir):
         .otherwise(F.concat(F.lit("http://www."), host, path,
                             F.lit("?gclid=xyz123#frag")))
     )
-    return url_duplicates(d.select("doc_id", url.alias("url")))
+
+
+_VARIANT_URL_SQL = """
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://example-' || ((doc_id // 4) % 7)
+               || '.com/page/' || (doc_id // 4) || '?q=' || (doc_id // 4)
+          WHEN 1 THEN upper('https://www.example-' || ((doc_id // 4) % 7)
+               || '.com') || ':443/page/' || (doc_id // 4)
+               || '?utm_source=feed&q=' || (doc_id // 4)
+          WHEN 2 THEN 'http://example-' || ((doc_id // 4) % 7)
+               || '.com:80/page/' || (doc_id // 4) || '/'
+          ELSE 'http://www.example-' || ((doc_id // 4) % 7)
+               || '.com/page/' || (doc_id // 4) || '?gclid=xyz123#frag'
+        END"""
+
+
+def q37_url_dedup(spark, sf_dir):
+    """URL-level dedup (functions.urlnorm): canonicalize page URLs —
+    fragment / scheme+host case / default port / www. / utm-gclid-
+    fbclid tracking params / trailing slash — and group equivalent
+    addresses (the no-text first pass of every crawl pipeline; CCNet
+    and RefinedWeb both dedup on the normalized URL before reading a
+    byte of body).  URLs come from the shared _variant_url synthesis.
+    Map-only until the one groupBy on the uniformly-hashed canonical
+    string."""
+    from .functions.urlnorm import url_duplicates
+
+    d = _load(spark, sf_dir, "documents")
+    return url_duplicates(d.select("doc_id", _variant_url().alias("url")))
 
 
 # hosts blocked by q38 on both engines (suffix semantics: an entry
@@ -699,6 +719,66 @@ def q30_source_quota(spark, sf_dir):
         F.count("*").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# q39 (composed corpus-hygiene) knobs, shared by the Spark side and the
+# oracle.  Thresholds are set so EVERY stage drops rows on the synthetic
+# corpus: the blocklist kills one of the seven synthesized hosts, the
+# URL variants collapse 4:1, injected exact copies (ids +10_000_000, an
+# offset clear of every sf's id range) die at exact dedup, min_quality
+# 0.3 removes the stopword-free docs (score 0.2), the repetition caps
+# sit inside the corpus' measured dup-bigram/top-word tails, natural
+# near-dup pairs exist at jaccard >= 0.7, and six train docs naturally
+# share 8-grams with the two eval sources.
+_HYG_BLOCKED = ["example-2.com"]
+_HYG_EVAL = ("src0", "src1")
+_HYG_QUOTAS = {"src2": 0.5, "src3": 0.25}
+_HYG_DEFAULT_QUOTA = 0.9
+_HYG_NEARDUP_T = 0.7
+_HYG_MIN_TOKENS = 12
+_HYG_MIN_QUALITY = 0.3
+_HYG_MAX_DUP_BI = 0.1
+_HYG_MAX_TOP_W = 0.2
+
+
+def q39_corpus_hygiene(spark, sf_dir):
+    """The COMPOSED corpus-hygiene pipeline
+    (corpus.prepare_training_corpus), hash-verified end to end: host
+    blocklist -> URL dedup -> exact dedup -> quality -> repetition ->
+    Jaccard-verified near-dup CC drop -> decontamination -> mixture
+    quotas -> PII redaction, in the published C4/CCNet/Gopher order.
+    Every stage is individually oracle-checked through q09/q11/q13/
+    q19/q30/q31/q32/q36/q37/q38; this query pins the COMPOSITION —
+    stage order, survivor threading, and gate semantics — against one
+    DuckDB oracle that chains the same nine stages as CTEs (the
+    near-dup closure as a recursive CTE).  Result: the final corpus as
+    (doc_id, source, md5(redacted text)), bit-equal across engines.
+
+    Inputs are deterministic (the q29/q37 pattern): urls from the
+    shared _variant_url synthesis, PII injected via _PII_REWRITES,
+    exact-duplicate copies appended at ids +10,000,000; sources
+    src0/src1 play the eval/benchmark suite (natural 8-gram overlap
+    exists), everything else is the train corpus."""
+    from .corpus import prepare_training_corpus
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source")
+    text = F.col("text")
+    for pat, rep in _PII_REWRITES:
+        text = F.regexp_replace(text, pat, rep)
+    corpus = (d.unionByName(dups)
+              .withColumn("text", text)
+              .withColumn("url", _variant_url()))
+    ev = corpus.filter(F.col("source").isin(*_HYG_EVAL))
+    train = corpus.filter(~F.col("source").isin(*_HYG_EVAL))
+    out = prepare_training_corpus(
+        train, blocklist=_HYG_BLOCKED,
+        min_tokens=_HYG_MIN_TOKENS, min_quality=_HYG_MIN_QUALITY,
+        max_dup_bigram_frac=_HYG_MAX_DUP_BI, max_top_word_frac=_HYG_MAX_TOP_W,
+        neardup_threshold=_HYG_NEARDUP_T, eval_set=ev, quotas=_HYG_QUOTAS,
+        default_quota=_HYG_DEFAULT_QUOTA, redact=True)
+    return out.select("doc_id", "source", F.md5("text").alias("text_md5"))
 
 
 # word -> entity/noun rewrites shared by q29's Spark side and oracle
@@ -866,6 +946,7 @@ QUERIES = {
     "q36_neardup_clusters": q36_neardup_clusters,
     "q37_url_dedup": q37_url_dedup,
     "q38_host_blocklist": q38_host_blocklist,
+    "q39_corpus_hygiene": q39_corpus_hygiene,
 }
 
 
@@ -1272,21 +1353,7 @@ def _url_dedup_oracle() -> str:
 
     return f"""
         WITH urls AS (
-            SELECT doc_id,
-                   CASE doc_id % 4
-                     WHEN 0 THEN 'https://example-' || ((doc_id // 4) % 7)
-                          || '.com/page/' || (doc_id // 4)
-                          || '?q=' || (doc_id // 4)
-                     WHEN 1 THEN upper('https://www.example-'
-                          || ((doc_id // 4) % 7) || '.com')
-                          || ':443/page/' || (doc_id // 4)
-                          || '?utm_source=feed&q=' || (doc_id // 4)
-                     WHEN 2 THEN 'http://example-' || ((doc_id // 4) % 7)
-                          || '.com:80/page/' || (doc_id // 4) || '/'
-                     ELSE 'http://www.example-' || ((doc_id // 4) % 7)
-                          || '.com/page/' || (doc_id // 4)
-                          || '?gclid=xyz123#frag'
-                   END AS url
+            SELECT doc_id, {_VARIANT_URL_SQL} AS url
             FROM documents
         )
         SELECT {canonical_url_sql("url")} AS canonical_url,
@@ -1331,6 +1398,229 @@ def _host_blocklist_oracle() -> str:
         FROM hosts
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         GROUP BY host
+    """
+
+
+def _gram8_cte(src: str, win: str, k: int = 8) -> str:
+    """8-token-window gram ids over ``src`` (mirrors
+    dedup.token_windows: lowercase, whitespace split, empties filtered
+    before positions, md5 of the space-joined window) — used twice by
+    the q39 oracle with distinct window names."""
+    joined = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{i}) OVER {win}" for i in range(1, k)])
+    return f"""
+            SELECT doc_id, gid FROM (
+                SELECT doc_id, md5({joined}) AS gid,
+                       lead(w,{k - 1}) OVER {win} AS wl
+                FROM (
+                    SELECT doc_id, unnest(ws) AS w,
+                           generate_subscripts(ws, 1) AS pos
+                    FROM (SELECT doc_id, list_filter(
+                              regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '') AS ws
+                          FROM {src}) t0) t1
+                WINDOW {win} AS (PARTITION BY doc_id ORDER BY pos)) t2
+            WHERE wl IS NOT NULL"""
+
+
+def _corpus_hygiene_oracle() -> str:
+    """q39: the nine hygiene stages as chained CTEs over the identical
+    deterministic inputs — blocklist suffix semantics (q38), canonical-
+    URL keeper window (q37), exact-dedup keeper window (q09), the
+    quality-score formula (textstats.quality_columns), the Gopher
+    repetition gates (q31), MinHash-LSH candidates + exact-Jaccard
+    verification (q13/q19) closed into components by a recursive CTE
+    (q36) with only non-keepers dropped, 8-gram decontamination (q34),
+    the hash16 quota threshold (q30), and the PII redaction chain
+    (q32).  Multi-referenced CTEs are MATERIALIZED: the recursive
+    closure and the NOT-IN probes would otherwise re-evaluate the
+    whole upstream chain per reference (measured: minutes -> 0.3 s)."""
+    from .functions.redact import _RULES
+    from .functions.textstats import hash16_sql
+    from .functions.urlnorm import canonical_url_sql
+
+    evs = ", ".join(f"'{s}'" for s in _HYG_EVAL)
+    pii = "text"
+    for pat, rep in _PII_REWRITES:
+        pii = f"regexp_replace({pii}, '{pat}', '{rep}', 'g')"
+    blocked = ", ".join(f"'{h}'" for h in _HYG_BLOCKED)
+    qcases = " ".join(
+        f"WHEN source = '{s}' THEN {int(q * (1 << 16))}"
+        for s, q in sorted(_HYG_QUOTAS.items()))
+    h16 = hash16_sql("source || '|' || CAST(doc_id AS VARCHAR)")
+    red_stages, cur = [], "s8"
+    for i, (placeholder, pat, _cname) in enumerate(_RULES):
+        nxt = f"r{i + 1}"
+        tcol = "text" if i == 0 else "t"
+        red_stages.append(
+            f"{nxt} AS (SELECT doc_id, source, "
+            f"regexp_replace({tcol}, '{pat}', '{placeholder}', 'g') AS t "
+            f"FROM {cur})")
+        cur = nxt
+    red_sql = ",\n        ".join(red_stages)
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text, source FROM documents
+            WHERE doc_id < 40
+        ), corpus AS MATERIALIZED (
+            SELECT doc_id, {pii} AS text, source,
+                   {_VARIANT_URL_SQL} AS url
+            FROM base
+        ), ctrain AS (
+            SELECT * FROM corpus WHERE source NOT IN ({evs})
+        ), hosts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host
+            FROM ctrain
+        ), blk AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(string_split(host, '.')) + 1),
+                    i -> array_to_string(string_split(host, '.')[i:], '.')
+                )) AS suffix FROM hosts) s
+            WHERE suffix IN ({blocked})
+        ), s1 AS MATERIALIZED (
+            SELECT * FROM ctrain
+            WHERE doc_id NOT IN (SELECT doc_id FROM blk)
+        ), s2 AS MATERIALIZED (
+            SELECT doc_id, text, source, url FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY {canonical_url_sql('url')}
+                    ORDER BY doc_id) AS rk
+                FROM s1) t WHERE rk = 1
+        ), s3 AS MATERIALIZED (
+            SELECT doc_id, text, source, url FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rk
+                FROM s2) t WHERE rk = 1
+        ), qual AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+                   round(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ('the','a','of','to','and')))
+                         / len(regexp_split_to_array(text, '\\s+')), 4) AS swr,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / length(text), 4) AS ar
+            FROM s3
+        ), s4 AS MATERIALIZED (
+            SELECT s3.* FROM s3 JOIN qual USING (doc_id)
+            WHERE n_tokens >= {_HYG_MIN_TOKENS}
+              AND round(CASE WHEN n_tokens < 5 THEN 0.0
+                             WHEN swr <= 0.0 THEN 0.2
+                             ELSE least(1.0, ar * 0.5 + least(swr * 4, 0.5))
+                        END, 4) >= {_HYG_MIN_QUALITY}
+        ), rwords AS (
+            SELECT doc_id, w, pos FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS w,
+                       generate_subscripts(
+                           regexp_split_to_array(lower(text), '\\s+'), 1) AS pos
+                FROM s4) t WHERE w <> ''
+        ), rgrams AS (
+            SELECT doc_id, w, pos, lead(w, 1) OVER rwin AS w1
+            FROM rwords WINDOW rwin AS (PARTITION BY doc_id ORDER BY pos)
+        ), ragg AS (
+            SELECT doc_id, count(w) AS n,
+                   count(CASE WHEN w1 IS NOT NULL THEN 1 END) AS nb,
+                   count(DISTINCT CASE WHEN w1 IS NOT NULL
+                         THEN w || ' ' || w1 END) AS ndb
+            FROM rgrams GROUP BY doc_id
+        ), rtop AS (
+            SELECT doc_id, max(c) AS topc FROM (
+                SELECT doc_id, w, count(*) AS c FROM rwords
+                GROUP BY doc_id, w) t GROUP BY doc_id
+        ), rbad AS (
+            SELECT a.doc_id FROM ragg a JOIN rtop USING (doc_id)
+            WHERE round((nb - ndb) / greatest(nb, 1), 4) > {_HYG_MAX_DUP_BI}
+               OR round(topc / n, 4) > {_HYG_MAX_TOP_W}
+        ), s5 AS MATERIALIZED (
+            SELECT * FROM s4
+            WHERE doc_id NOT IN (SELECT doc_id FROM rbad)
+        ), nwords AS (
+            SELECT doc_id, w, pos FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS w,
+                       generate_subscripts(
+                           regexp_split_to_array(text, '\\s+'), 1) AS pos
+                FROM s5) t
+        ), nsh AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER nwin || ' ' ||
+                   lead(w, 2) OVER nwin AS shingle
+            FROM nwords WINDOW nwin AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER nwin IS NOT NULL
+        ), nsig AS (
+            SELECT doc_id,
+                   min(md5('0|' || shingle)) AS m0,
+                   min(md5('1|' || shingle)) AS m1,
+                   min(md5('2|' || shingle)) AS m2,
+                   min(md5('3|' || shingle)) AS m3
+            FROM nsh GROUP BY doc_id
+        ), nunp AS (
+            SELECT doc_id AS doc, 0 AS band, m0 AS bucket FROM nsig
+            UNION ALL SELECT doc_id, 1, m1 FROM nsig
+            UNION ALL SELECT doc_id, 2, m2 FROM nsig
+            UNION ALL SELECT doc_id, 3, m3 FROM nsig
+        ), ncap AS (
+            SELECT doc, band, bucket FROM (
+                SELECT doc, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM nunp) t WHERE bsz <= 1000
+        ), npairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM ncap a JOIN ncap b USING (band, bucket)
+            WHERE a.doc < b.doc
+        ), ninter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS ni
+            FROM npairs p
+            JOIN nsh sa ON sa.doc_id = p.doc_a
+            JOIN nsh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ), nsizes AS (
+            SELECT doc_id, count(*) AS ns FROM nsh GROUP BY doc_id
+        ), nedges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM (
+                SELECT p.doc_a, p.doc_b,
+                       round(coalesce(i.ni, 0)
+                             / (za.ns + zb.ns - coalesce(i.ni, 0)), 4) AS j
+                FROM npairs p
+                LEFT JOIN ninter i USING (doc_a, doc_b)
+                JOIN nsizes za ON za.doc_id = p.doc_a
+                JOIN nsizes zb ON zb.doc_id = p.doc_b) t
+            WHERE j >= {_HYG_NEARDUP_T}
+        ), nsym AS MATERIALIZED (
+            SELECT src, dst FROM nedges
+            UNION ALL SELECT dst, src FROM nedges
+        ), reach(node, lbl) AS (
+            SELECT src, src FROM nsym
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN nsym e ON e.src = r.node
+        ), ncomp AS (
+            SELECT node AS doc_id, min(lbl) AS component
+            FROM reach GROUP BY node
+        ), s6 AS MATERIALIZED (
+            SELECT * FROM s5 WHERE doc_id NOT IN (
+                SELECT doc_id FROM ncomp WHERE doc_id <> component)
+        ), evg AS MATERIALIZED (
+            SELECT DISTINCT gid FROM (
+                {_gram8_cte("(SELECT doc_id, text FROM corpus "
+                            f"WHERE source IN ({evs}))", "ewin")}) ge
+        ), twg AS MATERIALIZED (
+            {_gram8_cte("s6", "twin")}
+        ), contam AS (
+            SELECT DISTINCT doc_id FROM twg
+            WHERE gid IN (SELECT gid FROM evg)
+        ), s7 AS MATERIALIZED (
+            SELECT * FROM s6
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ), s8 AS MATERIALIZED (
+            SELECT * FROM s7
+            WHERE {h16} < (CASE {qcases}
+                           ELSE {int(_HYG_DEFAULT_QUOTA * (1 << 16))} END)
+        ), {red_sql}
+        SELECT doc_id, source, md5(t) AS text_md5 FROM {cur}
     """
 
 
@@ -1678,6 +1968,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q36_neardup_clusters": _neardup_clusters_oracle(),
         "q37_url_dedup": _url_dedup_oracle(),
         "q38_host_blocklist": _host_blocklist_oracle(),
+        "q39_corpus_hygiene": _corpus_hygiene_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
