@@ -234,6 +234,61 @@ def drop_neardup_duplicates(docs: DataFrame, jaccard_threshold: float = 0.8,
     return docs.join(drop, id_col, "left_anti")
 
 
+def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact line/paragraph dedup (the C4 "three-sentence
+    span" / Dolma paragraph rule: a NON-EMPTY line occurring more than
+    once in the corpus survives only at its first occurrence —
+    boilerplate headers, cookie banners and navigation chrome occur
+    thousands of times and would otherwise dominate training text).
+    First occurrence = smallest (doc, position) over the whole corpus;
+    empty lines are structural and always kept.  Returns the input
+    frame with ``text_col`` rebuilt from the surviving lines (line
+    order preserved, ``sep``-joined; a doc whose every line was
+    deduplicated keeps an empty text).
+
+    Scale shape: the keeper per line is ONE groupBy on md5(line) —
+    map-side combinable min(), so a line occurring 10^6 times (the
+    boilerplate case this op exists for) arrives at the reducer as one
+    partial per map task, never 10^6 rows on a hot key (the
+    row_number-over-line window formulation would do exactly that);
+    the keep-verdict is an equality filter after joining the keeper
+    frame back on the same md5 key, and the rebuild is one
+    groupBy(doc) — array_sort over (pos, line) structs, no window.
+    The wide doc row is never shuffled: lines travel as (id, pos,
+    line) and the rebuilt text joins back on the id."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_ln"),
+    )
+    nonempty = lines.filter(F.col("_ln") != "")
+    keeper = nonempty.groupBy(F.md5("_ln").alias("_h")).agg(
+        F.min(F.struct("_id", "_pos")).alias("_first"))
+    kept = (
+        nonempty.join(keeper, F.md5(F.col("_ln")) == F.col("_h"))
+        .filter((F.col("_first._id") == F.col("_id"))
+                & (F.col("_first._pos") == F.col("_pos")))
+        .select("_id", "_pos", "_ln")
+        .unionByName(lines.filter(F.col("_ln") == ""))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                lambda s: s["_ln"],
+            ),
+            sep,
+        ).alias("_new_text")
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
+        .drop("_new_text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # mixture weighting
 # ---------------------------------------------------------------------------

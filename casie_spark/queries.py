@@ -781,6 +781,52 @@ def q39_corpus_hygiene(spark, sf_dir):
     return out.select("doc_id", "source", F.md5("text").alias("text_md5"))
 
 
+# the boilerplate line every q40 document carries (the chrome/banner
+# case corpus-wide line dedup exists for); 12 tokens so it lines up
+# with the synthesized chunking on both engines
+_Q40_BOILERPLATE = ("subscribe to the daily security briefing for "
+                    "updates and alerts today")
+_Q40_CHUNK = 12
+
+
+def q40_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (dedup.drop_duplicate_lines — the
+    C4 repeated-span / Dolma paragraph rule: a non-empty line occurring
+    more than once in the corpus survives only at its smallest
+    (doc, position)).  The synthetic corpus has no line structure, so
+    each doc's text is deterministically re-lined into 12-token chunks
+    and a shared boilerplate line is appended to EVERY doc (the
+    identical chunking runs in the oracle) — the boilerplate survives
+    once, in doc 0, and naturally repeated chunks dedup too.  Result:
+    per doc, the md5 and length of the rebuilt text, bit-equal across
+    engines."""
+    from .operators.dedup import drop_duplicate_lines
+
+    d = _load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"),
+                  lambda x: x != F.lit(""))
+    nchunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(_Q40_CHUNK)).cast("int"), F.lit(1))
+    lined = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.array_join(
+                F.slice(ws, i * _Q40_CHUNK + 1, _Q40_CHUNK), " "),
+        ),
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(lined, F.lit("\n"), F.lit(_Q40_BOILERPLATE)).alias("text"),
+    )
+    out = drop_duplicate_lines(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 # word -> entity/noun rewrites shared by q29's Spark side and oracle
 _NER_REWRITES = [
     (r"\bspark\b", "Microsoft"),   # vendor gazetteer -> B-Organization
@@ -947,6 +993,7 @@ QUERIES = {
     "q37_url_dedup": q37_url_dedup,
     "q38_host_blocklist": q38_host_blocklist,
     "q39_corpus_hygiene": q39_corpus_hygiene,
+    "q40_line_dedup": q40_line_dedup,
 }
 
 
@@ -1398,6 +1445,53 @@ def _host_blocklist_oracle() -> str:
         FROM hosts
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         GROUP BY host
+    """
+
+
+def _line_dedup_oracle() -> str:
+    """q40: identical 12-token re-lining + boilerplate append, then the
+    first-occurrence rule as a row_number window over the line string
+    (the oracle needn't be skew-shaped; the operator's agg+join keeper
+    computes the same smallest-(doc, pos) winner) and a string_agg
+    rebuild in position order."""
+    bp = _Q40_BOILERPLATE
+    c = _Q40_CHUNK
+    return f"""
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), lined AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(0, greatest(CAST(ceil(len(ws) / {c}.0) AS INT), 1)),
+                       i -> array_to_string(ws[(i*{c}+1):(i*{c}+{c})], ' ')
+                   ), chr(10)) || chr(10) || '{bp}' AS text
+            FROM base
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS ln,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM lined
+        ), keepers AS (
+            SELECT doc_id, pos, ln FROM (
+                SELECT doc_id, pos, ln, row_number() OVER (
+                    PARTITION BY ln ORDER BY doc_id, pos) AS rk
+                FROM lines WHERE ln <> '') t WHERE rk = 1
+        ), kept AS (
+            SELECT doc_id, pos, ln FROM keepers
+            UNION ALL
+            SELECT doc_id, pos, ln FROM lines WHERE ln = ''
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               md5(coalesce(r.text, '')) AS text_md5,
+               CAST(coalesce(length(r.text), 0) AS BIGINT) AS n_chars
+        FROM lined l LEFT JOIN rebuilt r USING (doc_id)
     """
 
 
@@ -1969,6 +2063,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q37_url_dedup": _url_dedup_oracle(),
         "q38_host_blocklist": _host_blocklist_oracle(),
         "q39_corpus_hygiene": _corpus_hygiene_oracle(),
+        "q40_line_dedup": _line_dedup_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

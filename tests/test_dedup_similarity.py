@@ -421,3 +421,30 @@ def test_token_windows_md5_cross_check(spark):
             expect[(i, p)] = hashlib.md5(
                 " ".join(ws[p:p + k]).encode()).hexdigest()
     assert got == expect
+
+
+def test_drop_duplicate_lines_first_occurrence(spark):
+    """Corpus-wide line dedup: a repeated non-empty line survives only
+    at its smallest (doc, pos); empty lines are structural and always
+    kept; a fully-deduplicated doc keeps an empty text; line order is
+    preserved in the rebuild."""
+    from casie_spark.operators.dedup import drop_duplicate_lines
+
+    bp = "subscribe to the newsletter"
+    rows = [
+        # doc 1: owns the boilerplate (first occurrence) + a unique line
+        (1, f"alpha beta\n{bp}\ngamma delta"),
+        # doc 2: boilerplate dropped, empty line kept, unique line kept
+        (2, f"{bp}\n\nepsilon zeta"),
+        # doc 3: every line is a duplicate -> empty text
+        (3, f"{bp}\nalpha beta"),
+        # doc 4: intra-doc repeat -> second copy dropped
+        (4, "eta theta\neta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in drop_duplicate_lines(docs).collect()}
+    assert got[1] == f"alpha beta\n{bp}\ngamma delta"  # untouched
+    assert got[2] == "\nepsilon zeta"                  # empty line kept
+    assert got[3] == ""                                # all lines deduped
+    assert got[4] == "eta theta"                       # intra-doc repeat cut
