@@ -127,3 +127,48 @@ def prepare_training_corpus(
                    .withColumnRenamed("redacted_text", text_col)
                    .select(*cols))
     return (out, report) if with_report else out
+
+
+def pack_token_shards(docs: DataFrame, budget_tokens: int = 100_000,
+                      n_shards: int = 1024, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic token-budget sharding — the last step of training
+    prep: assign every document to a (shard, bin) so each bin holds
+    ~budget_tokens of text, stable across runs and cluster sizes (the
+    writer that follows emits one training file per bin; trainers
+    stream bins in hash order).
+
+    Bin rule: within a shard, documents are ordered by md5(id) (a
+    deterministic pseudo-shuffle — neighbors in the corpus do NOT land
+    in the same bin, which is exactly what training wants) and
+    ``bin = floor(exclusive_prefix_tokens / budget)``.  This is the
+    closed-form relaxation of greedy packing: a bin may overflow by at
+    most one document (greedy's reset-on-overflow state is not
+    expressible as a distributed prefix sum, and the overflow is
+    bounded and rare at real budgets).
+
+    Scale shape: token counts are map-only column math; the only
+    shuffle is the per-shard prefix-sum window riding
+    ``hash16(id) % n_shards`` — n_shards is sized to the cluster so a
+    shard is a bounded partition, never a global total order (a single
+    ORDER BY over 10^12 rows is the anti-pattern this signature
+    avoids).  hash16/md5 keep the DuckDB oracle (q41) bit-exact."""
+    from .functions.textstats import hash16
+
+    ids = F.col(id_col).cast("string")
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda x: x != F.lit(""))).cast("long")
+    base = docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        (hash16(ids) % n_shards).alias("shard"),
+        F.md5(ids).alias("_h"),
+    )
+    w = (Window.partitionBy("shard").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col, "shard", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(budget_tokens)))
+        .cast("long").alias("bin"),
+    )

@@ -789,6 +789,20 @@ _Q40_BOILERPLATE = ("subscribe to the daily security briefing for "
 _Q40_CHUNK = 12
 
 
+def q41_token_shards(spark, sf_dir):
+    """Deterministic token-budget sharding (corpus.pack_token_shards —
+    the training-file packing step): every doc assigned to a
+    (shard, bin) with ~300 tokens per bin, shard = hash16(id) % 8,
+    in-shard order = md5(id) pseudo-shuffle, bin = floor(exclusive
+    prefix tokens / budget).  The per-shard prefix sum is the only
+    shuffle — no global ORDER BY — and the shared md5/hash16
+    primitives make the assignment bit-reproducible in the oracle."""
+    from .corpus import pack_token_shards
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_token_shards(d, budget_tokens=300, n_shards=8)
+
+
 def q40_line_dedup(spark, sf_dir):
     """Corpus-wide exact line dedup (dedup.drop_duplicate_lines — the
     C4 repeated-span / Dolma paragraph rule: a non-empty line occurring
@@ -994,6 +1008,7 @@ QUERIES = {
     "q38_host_blocklist": q38_host_blocklist,
     "q39_corpus_hygiene": q39_corpus_hygiene,
     "q40_line_dedup": q40_line_dedup,
+    "q41_token_shards": q41_token_shards,
 }
 
 
@@ -1445,6 +1460,31 @@ def _host_blocklist_oracle() -> str:
         FROM hosts
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         GROUP BY host
+    """
+
+
+def _token_shards_oracle() -> str:
+    """q41: identical token count, hash16-mod shard, md5 in-shard
+    order and exclusive-prefix-sum bin rule."""
+    from .functions.textstats import hash16_sql
+
+    h16 = hash16_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens,
+                   {h16} % 8 AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 300.0) AS BIGINT) AS bin
+        FROM base
     """
 
 
@@ -2064,6 +2104,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q38_host_blocklist": _host_blocklist_oracle(),
         "q39_corpus_hygiene": _corpus_hygiene_oracle(),
         "q40_line_dedup": _line_dedup_oracle(),
+        "q41_token_shards": _token_shards_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -93,3 +93,32 @@ def test_prepare_training_corpus_default_gates(spark):
         max_top_word_frac=None)
     assert sorted(r["doc_id"] for r in df.collect()) == [
         1, 2, 3, 4, 6, 7, 8, 9, 10, 11]
+
+
+def test_pack_token_shards_invariants(spark):
+    """Every bin's token load stays under budget + one document (the
+    documented closed-form relaxation of greedy packing), assignment
+    is deterministic, and every doc lands in exactly one (shard, bin)."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.corpus import pack_token_shards
+
+    rows = [(i, "w " * (5 + (i * 7) % 40)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_token_shards(docs, budget_tokens=60, n_shards=4)
+    got = out.collect()
+    assert len(got) == 200 and len({r["doc_id"] for r in got}) == 200
+    max_doc = max(r["n_tokens"] for r in got)
+    loads = (
+        out.groupBy("shard", "bin").agg(F.sum("n_tokens").alias("load"))
+        .collect()
+    )
+    assert all(r["load"] <= 60 + max_doc for r in loads)
+    # bins are consecutive from 0 within each shard
+    for shard in {r["shard"] for r in got}:
+        bins = sorted({r["bin"] for r in got if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+    # deterministic across recomputation
+    again = {(r["doc_id"], r["shard"], r["bin"])
+             for r in pack_token_shards(docs, 60, 4).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["bin"]) for r in got}
