@@ -9,6 +9,10 @@ this module only sequences them in the order published pipelines
 1. host blocklist        (urlnorm.filter_blocked_hosts — no text read)
 2. URL-level dedup       (urlnorm.canonical_url keeper window)
 3. exact text dedup      (dedup.drop_exact_duplicates)
+3b. line/paragraph dedup (dedup.drop_duplicate_lines — optional,
+                          default off: the Dolma paragraph rule;
+                          rewrites text, so it runs BEFORE the
+                          quality gates score it)
 4. quality gates         (textstats.quality_columns: tokens + score)
 5. repetition gates      (textstats.repetition_columns, Gopher A1.1)
 6. fuzzy near-dup drop   (dedup.drop_neardup_duplicates: LSH ->
@@ -44,6 +48,7 @@ def prepare_training_corpus(
     *,
     blocklist: list[str] | DataFrame | None = None,
     url_dedup: bool | None = None,
+    line_dedup: bool = False,
     min_tokens: int = 5,
     min_quality: float | None = 0.3,
     max_dup_bigram_frac: float | None = 0.5,
@@ -65,7 +70,8 @@ def prepare_training_corpus(
     from .functions.redact import redact_pii
     from .functions.textstats import quality_columns, repetition_columns
     from .functions.urlnorm import (canonical_url, filter_blocked_hosts)
-    from .operators.dedup import (decontaminate, drop_exact_duplicates,
+    from .operators.dedup import (decontaminate, drop_duplicate_lines,
+                                  drop_exact_duplicates,
                                   drop_neardup_duplicates, quota_sample)
     from .util import truncate
 
@@ -89,6 +95,9 @@ def prepare_training_corpus(
                    out.withColumn("_rk", F.row_number().over(w))
                    .filter("_rk = 1").drop("_rk"))
     out = step("exact_dedup", drop_exact_duplicates(out, text_col, id_col))
+    if line_dedup:
+        out = step("line_dedup",
+                   drop_duplicate_lines(truncate(out), text_col, id_col))
     if min_tokens or min_quality is not None:
         out = truncate(out)
         q = quality_columns(out.select(id_col, text_col), text_col)

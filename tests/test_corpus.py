@@ -122,3 +122,23 @@ def test_pack_token_shards_invariants(spark):
     again = {(r["doc_id"], r["shard"], r["bin"])
              for r in pack_token_shards(docs, 60, 4).collect()}
     assert again == {(r["doc_id"], r["shard"], r["bin"]) for r in got}
+
+
+def test_prepare_training_corpus_line_dedup_stage(spark):
+    """The optional 3b stage: a boilerplate line repeated across docs
+    survives once (smallest doc), runs after exact dedup and BEFORE the
+    quality gates (they must score the cleaned text)."""
+    bp = "subscribe to our newsletter"
+    rows = [
+        (1, f"the first article body has plenty of the words\n{bp}"),
+        (2, f"a second article body of the same general shape\n{bp}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        docs, line_dedup=True, min_tokens=0, min_quality=None,
+        max_dup_bigram_frac=None, max_top_word_frac=None,
+        redact=False, with_report=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1].endswith(bp)
+    assert bp not in got[2]
+    assert report["line_dedup"] == 2  # transform, not a filter

@@ -175,3 +175,24 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     plan = _plan(QUERIES["q34_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan.split("LeftSemi")[0], plan
+
+
+def test_line_dedup_no_window_on_line_key(spark, sf_dir):
+    """q40: the first-occurrence keeper is a groupBy-min on md5(line)
+    with a map-side partial aggregate — never a row_number window over
+    the line key, which would serialize on exactly the 10^6-copy
+    boilerplate lines the op exists to remove."""
+    plan = _plan(QUERIES["q40_line_dedup"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_min(struct(_id" in plan, plan
+
+
+def test_token_shards_single_exchange_no_global_sort(spark, sf_dir):
+    """q41: exactly ONE exchange (the per-shard window partition), the
+    prefix sum rides a Window keyed on shard, and no sort is global
+    (a total ORDER BY over the corpus is the crawl-scale
+    anti-pattern this signature avoids)."""
+    plan = _plan(QUERIES["q41_token_shards"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "windowspecdefinition(shard" in plan, plan
+    assert "], true, 0" not in plan, plan  # no global Sort
