@@ -181,3 +181,56 @@ def pack_token_shards(docs: DataFrame, budget_tokens: int = 100_000,
         F.floor((cum - F.col("n_tokens")) / F.lit(int(budget_tokens)))
         .cast("long").alias("bin"),
     )
+
+
+def write_training_shards(docs: DataFrame, out_dir: str,
+                          budget_tokens: int = 100_000,
+                          n_shards: int = 16, text_col: str = "text",
+                          id_col: str = "doc_id") -> dict:
+    """Checkpoint-resumable training-corpus export — the sink side of
+    :func:`pack_token_shards`: docs are written as parquet partitioned
+    by (shard, bin) with one manifest row per completed shard
+    (casie_spark.manifests — the same lineage/resume machinery as the
+    graph sink).  Only shards WITHOUT an 'ok' manifest row are
+    written, so re-running after an interruption completes the
+    remainder and a completed run is a no-op.  A shard is recorded
+    complete only when the input actually contained documents for it
+    (a partial upstream read must not mark absent shards done —
+    the sinks.resumable_run rule).
+
+    Safe to resume because the (shard, bin) assignment is a pure
+    function of each document's id and the in-shard token prefix sum —
+    identical on every re-run over the same corpus; partial writes of
+    an uncommitted shard are overwritten by the dynamic partition
+    overwrite."""
+    import os
+    import time
+
+    from . import manifests
+
+    spark = docs.sparkSession
+    stage = "training_shards"
+    pending = manifests.pending_buckets(spark, out_dir, stage, n_shards)
+    if not pending:
+        return {"written_shards": [], "rows": 0}
+
+    assign = pack_token_shards(docs, budget_tokens, n_shards,
+                               text_col, id_col)
+    data = (docs.join(assign.select(id_col, "shard", "bin"), id_col)
+            .filter(F.col("shard").isin([int(s) for s in pending])))
+    t0 = time.perf_counter()
+    data.persist()
+    per_shard = {
+        r["shard"]: r["n"]
+        for r in data.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    (data.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard", "bin")
+     .parquet(os.path.join(out_dir, "shards")))
+    data.unpersist()
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    done = {int(s): per_shard[s] for s in pending if s in per_shard}
+    if done:
+        manifests.record(spark, out_dir, stage, done, wall_ms)
+    return {"written_shards": sorted(done), "rows": int(sum(done.values()))}

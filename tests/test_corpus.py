@@ -142,3 +142,47 @@ def test_prepare_training_corpus_line_dedup_stage(spark):
     assert got[1].endswith(bp)
     assert bp not in got[2]
     assert report["line_dedup"] == 2  # transform, not a filter
+
+
+def test_write_training_shards_resumable(spark, tmp_path):
+    """The corpus sink twin of sinks.resumable_run: interrupted input
+    marks only delivered shards complete; resume writes the remainder;
+    a completed run is a no-op; parquet rows match the manifest."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.corpus import pack_token_shards, write_training_shards
+    from casie_spark.manifests import pending_buckets, read_manifest
+
+    out = str(tmp_path / "shards_run")
+    rows = [(i, "tok " * (10 + i % 30)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    n_shards = 4
+
+    assign = pack_token_shards(docs, 80, n_shards)
+    # interrupted run: upstream delivered only shards 0-1
+    part_ids = assign.filter("shard < 2").select("doc_id")
+    r1 = write_training_shards(docs.join(part_ids, "doc_id"), out,
+                               budget_tokens=80, n_shards=n_shards)
+    assert sorted(r1["written_shards"]) == [0, 1]
+    assert sorted(pending_buckets(spark, out, "training_shards",
+                                  n_shards)) == [2, 3]
+
+    # resume with the full corpus: only the missing shards are written
+    r2 = write_training_shards(docs, out, budget_tokens=80,
+                               n_shards=n_shards)
+    assert sorted(r2["written_shards"]) == [2, 3]
+    # completed: third run is a no-op
+    r3 = write_training_shards(docs, out, budget_tokens=80,
+                               n_shards=n_shards)
+    assert r3 == {"written_shards": [], "rows": 0}
+
+    got = spark.read.parquet(out + "/shards")
+    assert got.count() == 120
+    m = read_manifest(spark, out)
+    assert m.filter("status='ok'").count() == n_shards
+    assert m.agg(F.sum("rows")).first()[0] == 120
+    # shard/bin partition values round-trip and match a fresh packing
+    fresh = {(r["doc_id"], r["shard"], r["bin"])
+             for r in pack_token_shards(docs, 80, n_shards).collect()}
+    assert {(r["doc_id"], int(r["shard"]), int(r["bin"]))
+            for r in got.select("doc_id", "shard", "bin").collect()} == fresh
