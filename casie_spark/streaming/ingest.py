@@ -44,26 +44,43 @@ def stream_documents(spark: SparkSession, path: str,
     return reader.parquet(path)
 
 
-def stream_triples(docs: DataFrame, out_dir: str, checkpoint_dir: str,
-                   mode: str = "rules") -> StreamingQuery:
-    """documents stream -> triples, via foreachBatch over the batch
-    pipeline.  Each micro-batch is append-only parquet; the checkpoint
-    makes replays idempotent (a batch id is committed only after its
-    write lands)."""
+def write_triples_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
+                        mode: str = "rules") -> None:
+    """One idempotent micro-batch: run the batch pipeline, land the
+    triples as partition batch_id=N via dynamic partition overwrite —
+    calling this twice with the same batch_id replaces, never
+    duplicates (the foreachBatch replay contract)."""
     from ..pipeline import run_pipeline
     from ..util import track_persists
 
+    if batch_df.isEmpty():
+        return
+    # track_persists releases the pipeline's stage-barrier caches
+    # once the batch's write lands — under trigger(processingTime=…)
+    # the SQL cache would otherwise grow by a few frames every
+    # micro-batch until storage memory is exhausted
+    with track_persists():
+        triples = run_pipeline(batch_df, mode=mode)
+        (triples.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+
+def stream_triples(docs: DataFrame, out_dir: str, checkpoint_dir: str,
+                   mode: str = "rules") -> StreamingQuery:
+    """documents stream -> triples, via foreachBatch over the batch
+    pipeline.  foreachBatch is AT-LEAST-ONCE by contract: a crash after
+    the data write but before the checkpoint commits the batch id
+    replays the batch on restart, so the batch body must be idempotent
+    per batch_id.  Writing with dynamic partition overwrite partitioned
+    by batch_id gives exactly that — a replay of batch N replaces
+    partition batch_id=N instead of appending a second copy (the same
+    crash-window rule as sinks.resumable_run / corpus.write_training_
+    shards on the batch side)."""
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # track_persists releases the pipeline's stage-barrier caches
-        # once the batch's write lands — under trigger(processingTime=…)
-        # the SQL cache would otherwise grow by a few frames every
-        # micro-batch until storage memory is exhausted
-        with track_persists():
-            triples = run_pipeline(batch_df, mode=mode)
-            (triples.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_dir))
+        write_triples_batch(batch_df, batch_id, out_dir, mode)
 
     return (
         docs.writeStream

@@ -63,3 +63,91 @@ def test_resumable_run_is_incremental(spark, tmp_path):
     total = spark.read.parquet(out + "/edges").count()
     recorded = m.agg(F.sum("rows").alias("s")).first()["s"]
     assert total == recorded
+
+
+def test_resume_idempotent_across_crash_window(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the edge write and the manifest record leaves
+    committed parquet with no 'ok' rows; the resume reprocesses those
+    buckets.  Dynamic partition overwrite makes that re-run replace —
+    not duplicate — the orphaned partitions (an append sink would
+    double every edge in them)."""
+    import casie_spark.manifests as manifests_mod
+
+    out = str(tmp_path / "crash_run")
+    docs = synth_documents(spark, 30).persist()
+
+    # fresh single-run ground truth
+    ref_out = str(tmp_path / "ref_run")
+    resumable_run(docs, ref_out, n_buckets=2)
+    expected = spark.read.parquet(ref_out + "/edges").count()
+    assert expected > 0
+
+    # crashed attempt: data lands, manifest write dies
+    real_record = manifests_mod.record
+
+    def dying_record(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(manifests_mod, "record", dying_record)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        resumable_run(docs, out, n_buckets=2)
+    assert spark.read.parquet(out + "/edges").count() == expected  # data did land
+    monkeypatch.setattr(manifests_mod, "record", real_record)
+
+    # resume: everything still pending, rerun must not duplicate
+    r = resumable_run(docs, out, n_buckets=2)
+    assert sorted(r["processed_buckets"]) == [0, 1]
+    assert spark.read.parquet(out + "/edges").count() == expected
+    docs.unpersist()
+
+
+def test_write_graph_table_and_partition_refresh(spark, tmp_path):
+    """Catalog-table graph sink: V1 path end to end (create, read back
+    via spark.table, incremental partition replacement), V2 branch
+    dispatches the Iceberg writeTo calls (the sandbox session catalog
+    is V1, so dispatch surfaces as the REPLACE TABLE capability error
+    — proving the branch is wired, not dead code)."""
+    import pytest as _pytest
+
+    from casie_spark.sources.sinks import (refresh_edge_partitions,
+                                           write_graph_table)
+
+    docs = synth_documents(spark, 30)
+    vertices, edges = build_graph(docs)
+    edges = edges.persist()
+    prefix = "tg_resume"
+    try:
+        write_graph_table(vertices, edges, prefix, path=str(tmp_path / "tbl"))
+        te = spark.table(f"{prefix}_edges")
+        tv = spark.table(f"{prefix}_vertices")
+        n0 = te.count()
+        assert n0 == edges.count() and tv.count() > 0
+        subtypes = [r[0] for r in
+                    te.select("event_subtype").distinct().collect()]
+        assert len(subtypes) >= 2
+
+        # refresh ONE subtype partition with a reduced slice: that
+        # partition shrinks, every other partition is untouched
+        target = subtypes[0]
+        others_before = te.filter(F.col("event_subtype") != target).count()
+        slice_df = (edges.filter(F.col("event_subtype") == target)
+                    .limit(max(1, n0 // 10)))
+        n_slice = slice_df.count()
+        refresh_edge_partitions(slice_df, prefix)
+        te = spark.table(f"{prefix}_edges")
+        assert te.filter(F.col("event_subtype") == target).count() == n_slice
+        assert te.filter(F.col("event_subtype") != target).count() == others_before
+
+        # V2/Iceberg branch: writeTo dispatched — surfaces the absent
+        # connector (DATA_SOURCE_NOT_FOUND: iceberg) in this sandbox,
+        # proving the branch is wired, not dead code
+        with _pytest.raises(Exception,
+                            match="iceberg|REPLACE TABLE|not support"):
+            write_graph_table(vertices, edges, "tg_v2", format="iceberg",
+                              v2_catalog=True)
+    finally:
+        edges.unpersist()
+        for t in (f"{prefix}_edges", f"{prefix}_vertices",
+                  "tg_v2_edges", "tg_v2_vertices"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -137,3 +137,33 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     max_ts = max(r[1] for r in rows)
     for r in got.collect():
         assert r["window_end"] <= max_ts - dt.timedelta(hours=2) + dt.timedelta(hours=1)
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the data write but
+    before the checkpoint commit replays the batch.  The batch body
+    (write_triples_batch) must therefore replace — not duplicate — its
+    own batch_id partition, while leaving other batches untouched."""
+    from casie_spark.streaming.ingest import write_triples_batch
+
+    out = str(tmp_path / "replay_out")
+    docs = synth_documents(spark, 40, partitions=2).persist()
+    b0 = docs.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+    b1 = docs.subtract(b0)
+
+    write_triples_batch(b0, 0, out)
+    write_triples_batch(b1, 1, out)
+    once = spark.read.parquet(out)
+    # materialize BEFORE the replay: the overwrite replaces the files
+    # this lazy frame points at
+    set_once = _triple_set(once)
+    n_total, n_b1 = once.count(), once.filter("batch_id = 1").count()
+    assert n_total > n_b1 > 0
+
+    # replay batch 1 (simulated post-write / pre-commit crash restart)
+    write_triples_batch(b1, 1, out)
+    again = spark.read.parquet(out)
+    assert again.count() == n_total
+    assert again.filter("batch_id = 1").count() == n_b1
+    assert _triple_set(again) == set_once
+    docs.unpersist()
