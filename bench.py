@@ -34,7 +34,8 @@ HEADLINE = [
 # which keeps its round-1 composition for cross-round comparability —
 # same contract as pipeline_model_inference below
 EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist",
-         "q39_corpus_hygiene", "q40_line_dedup", "q41_token_shards"]
+         "q39_corpus_hygiene", "q40_line_dedup", "q41_token_shards",
+         "q42_dsir_weights", "q43_upsample_epochs"]
 
 
 def main() -> None:

@@ -234,3 +234,125 @@ def write_training_shards(docs: DataFrame, out_dir: str,
     if done:
         manifests.record(spark, out_dir, stage, done, wall_ms)
     return {"written_shards": sorted(done), "rows": int(sum(done.values()))}
+
+
+def hashed_gram_buckets(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 512,
+                        keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep_cols, b) rows: one per unigram/bigram occurrence,
+    b = hash16(gram) % n_buckets — the hashed bag-of-ngrams feature
+    space of Xie et al. 2023 (DSIR).  Map-only (lowercase whitespace
+    split, adjacent-pair bigrams built inside the array, then one
+    explode); hash16/md5 keep the DuckDB oracle (q42) bit-exact."""
+    from .functions.textstats import hash16
+
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                  lambda x: x != F.lit(""))
+    bi = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat(F.element_at(ws, i), F.lit(" "),
+                                       F.element_at(ws, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        id_col, *keep_cols, F.explode(F.concat(ws, bi)).alias("g"),
+    ).select(id_col, *keep_cols,
+             (hash16(F.col("g")) % n_buckets).alias("b"))
+
+
+def dsir_logratio(docs: DataFrame, target, text_col: str = "text",
+                  id_col: str = "doc_id", n_buckets: int = 512,
+                  alpha: float = 1.0, threshold: float = 0.0) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed n-gram bag is under the TARGET
+    distribution (``target``: a boolean Column marking the exemplar
+    docs — a trusted domain, a language, a quality slice) than under
+    the RAW pool (the whole corpus).  Returns one row per non-empty
+    doc: (id, n_grams, logratio, keep) where logratio is the per-gram
+    mean of log10 p_target(bucket) - log10 p_raw(bucket) (add-alpha
+    smoothed, rounded to 4 — the repo's cross-engine float rule) and
+    keep = rounded logratio >= threshold.
+
+    Scale shape: the gram stream is map-only (hashed_gram_buckets)
+    and the explode+md5 pass — the dominant cost — runs ONCE: the
+    (id, target?, bucket) frame is materialized (columnar cache, three
+    narrow columns) and both consumers read the cache.  The bucket
+    distributions aggregate to n_buckets rows with map-side combine
+    absorbing the Zipf head (one conditional-sum pass computes target
+    AND raw together), the corpus totals ride a single-partition
+    window over those n_buckets rows (integer sums — no float drift),
+    the per-bucket score table broadcasts back into the cached gram
+    frame, and the only data-scale exchange is the final groupBy(id)
+    with partial aggregation.  At 100 TB the cached gram frame is the
+    scale limit — there you would fit the two distributions on a
+    sample instead (DSIR's distributions are estimates, not exact
+    counts; the oracle-exact full-corpus form here is the verifiable
+    special case) and the cache becomes a 512-row broadcast table.
+
+    Measured (sf0.1, local[32], best-of-3): 12.0 s as three gram
+    passes -> 6.2 s with the single materialized pass."""
+    from .util import materialize
+
+    flagged = docs.select(
+        F.col(id_col).alias("_did"), F.col(text_col).alias("_txt"),
+        target.alias("_t"))
+    bucketed = materialize(hashed_gram_buckets(
+        flagged, text_col="_txt", id_col="_did", n_buckets=n_buckets,
+        keep_cols=("_t",)))
+    stats = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    a, bkt = float(alpha), float(n_buckets)
+    # pmod(b,1) == 0 for every row but is not a foldable literal, so
+    # the single-partition window (512 rows) skips WindowExec's
+    # no-partition-defined warning
+    wall = (Window.partitionBy(F.pmod(F.col("b"), F.lit(1)))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    scores = stats.select(
+        "b",
+        (F.log10((F.col("ct") + a) / (F.sum("ct").over(wall) + a * bkt))
+         - F.log10((F.col("cr") + a) / (F.sum("cr").over(wall) + a * bkt))
+         ).alias("lr"),
+    )
+    out = (bucketed.join(F.broadcast(scores), "b")
+           .groupBy("_did")
+           .agg(F.count("*").alias("n_grams"),
+                F.round(F.sum("lr") / F.count("*"), 4).alias("logratio")))
+    return out.select(
+        F.col("_did").alias(id_col),
+        "n_grams", "logratio",
+        (F.col("logratio") >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def upsample_epochs(docs: DataFrame, weight, id_col: str = "doc_id",
+                    salt: str = "epoch") -> DataFrame:
+    """Deterministic fractional upsampling — the mixture/epoch step of
+    training prep (the "2.5 epochs of Wikipedia" rule of published LM
+    data recipes): emit floor(w) copies of every document plus one
+    more iff hash16(id:salt)/65536 < frac(w).  Expected copy count is
+    exactly w per doc, the realization is a pure function of the id
+    (stable across runs and cluster sizes — no RNG state, the same
+    property quota_sample relies on), and the whole operator is
+    MAP-ONLY: floor/frac/hash are column math and the copies come from
+    exploding a sequence literal — zero shuffles at any corpus size.
+
+    ``weight``: a double Column (per-doc mixture weight, e.g. a
+    when-chain over source/lang).  Output: the input row + (epoch,
+    n_copies); docs whose realized copy count is 0 (w < 1 losing the
+    hash draw) are dropped."""
+    from .functions.textstats import hash16
+
+    w = weight.cast("double")
+    u = (hash16(F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + salt))) / F.lit(65536.0))
+    n = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (docs.withColumn("n_copies", n)
+            .filter(F.col("n_copies") > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.col("n_copies") - 1)))
+            .withColumn("epoch", F.col("epoch").cast("int")))

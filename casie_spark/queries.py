@@ -967,6 +967,44 @@ def q28_ann_ivf(spark, sf_dir):
     return ivf_topk(_load(spark, sf_dir, "embeddings"), k=3, query_limit=100)
 
 
+# q42/q43 knobs, shared by the Spark side and the generated oracle SQL
+_Q42_BUCKETS = 512
+# fractional mixture weights keyed on lang: integer part, halves,
+# quarters and a sub-1.0 entry all exercised (0.5 docs can realize 0
+# copies and drop)
+_Q43_WEIGHTS = {"en": 1.0, "de": 2.5, "es": 0.5, "fr": 1.25, "zh": 2.0}
+
+
+def q42_dsir_weights(spark, sf_dir):
+    """DSIR importance scoring (corpus.dsir_logratio — Xie et al.
+    2023): hashed unigram+bigram bag per doc, per-bucket
+    log10(p_target/p_raw) with target = the English slice, per-doc
+    mean log-ratio and a keep flag at threshold 0.  The bucket
+    distributions are one conditional-sum aggregate to 512 rows; the
+    score table broadcasts back into the gram stream; the only
+    data-scale exchange is the final per-doc mean."""
+    from .corpus import dsir_logratio
+
+    d = _load(spark, sf_dir, "documents")
+    return dsir_logratio(d, F.col("lang") == "en", n_buckets=_Q42_BUCKETS)
+
+
+def q43_upsample_epochs(spark, sf_dir):
+    """Deterministic fractional upsampling (corpus.upsample_epochs —
+    the 'N epochs of source X' mixture rule): floor(w) copies plus a
+    hash-threshold extra for the fractional part, weights keyed on
+    lang.  Map-only — the plan gate asserts zero exchanges at any
+    corpus size."""
+    from .corpus import upsample_epochs
+
+    d = _load(spark, sf_dir, "documents")
+    wt = F.lit(None).cast("double")
+    for lang, w in _Q43_WEIGHTS.items():
+        wt = F.when(F.col("lang") == lang, float(w)).otherwise(wt)
+    return upsample_epochs(d, wt).select(
+        "doc_id", "lang", "n_copies", "epoch")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1009,6 +1047,8 @@ QUERIES = {
     "q39_corpus_hygiene": q39_corpus_hygiene,
     "q40_line_dedup": q40_line_dedup,
     "q41_token_shards": q41_token_shards,
+    "q42_dsir_weights": q42_dsir_weights,
+    "q43_upsample_epochs": q43_upsample_epochs,
 }
 
 
@@ -1485,6 +1525,75 @@ def _token_shards_oracle() -> str:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_tokens) / 300.0) AS BIGINT) AS bin
         FROM base
+    """
+
+
+def _dsir_oracle() -> str:
+    """q42: identical lowercase whitespace unigrams + adjacent
+    bigrams, hash16-mod bucketing, add-1 smoothed log10 ratio and the
+    round-4 per-doc mean (the repo's cross-engine float rule, same
+    contract as q35)."""
+    from .functions.textstats import hash16_sql
+
+    b = _Q42_BUCKETS
+    h16 = hash16_sql("g")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang = 'en' AS t,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id, t, unnest(list_concat(ws,
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])
+                     ELSE []::VARCHAR[] END)) AS g
+            FROM base
+        ), bk AS (
+            SELECT doc_id, t, {h16} % {b} AS b FROM g
+        ), stats AS (
+            SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                   count(*) AS cr
+            FROM bk GROUP BY b
+        ), tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats),
+        scores AS (
+            SELECT b, log10((ct + 1.0)/(nt + {b}.0))
+                    - log10((cr + 1.0)/(nr + {b}.0)) AS lr
+            FROM stats, tot
+        )
+        SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(lr)/count(*), 4) AS logratio,
+               round(sum(lr)/count(*), 4) >= 0.0 AS keep
+        FROM bk JOIN scores USING (b)
+        GROUP BY bk.doc_id
+    """
+
+
+def _upsample_oracle() -> str:
+    """q43: identical lang->weight case, hash16(id:epoch)/65536 draw
+    for the fractional copy, range-unnest for the epochs (integer
+    exact end to end)."""
+    from .functions.textstats import hash16_sql
+
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _Q43_WEIGHTS.items())
+    h16 = hash16_sql("CAST(doc_id AS VARCHAR) || ':epoch'")
+    return f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang {case} END AS wt,
+                   {h16} / 65536.0 AS u
+            FROM documents
+        ), n AS (
+            SELECT doc_id, lang,
+                   CAST(floor(wt) + CASE WHEN u < wt - floor(wt)
+                                         THEN 1 ELSE 0 END AS INT)
+                   AS n_copies
+            FROM w
+        )
+        SELECT doc_id, lang, n_copies,
+               CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+        FROM n WHERE n_copies > 0
     """
 
 
@@ -2105,6 +2214,8 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q39_corpus_hygiene": _corpus_hygiene_oracle(),
         "q40_line_dedup": _line_dedup_oracle(),
         "q41_token_shards": _token_shards_oracle(),
+        "q42_dsir_weights": _dsir_oracle(),
+        "q43_upsample_epochs": _upsample_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

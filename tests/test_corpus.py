@@ -186,3 +186,66 @@ def test_write_training_shards_resumable(spark, tmp_path):
              for r in pack_token_shards(docs, 80, n_shards).collect()}
     assert {(r["doc_id"], int(r["shard"]), int(r["bin"]))
             for r in got.select("doc_id", "shard", "bin").collect()} == fresh
+
+
+def test_dsir_logratio_separates_target_from_pool(spark):
+    """DSIR semantics: docs written in the target slice's vocabulary
+    score a higher mean log-ratio than docs from a disjoint
+    vocabulary, and the score is a pure function of the text (same
+    result under different partitioning)."""
+    from casie_spark.corpus import dsir_logratio
+    from pyspark.sql import functions as F
+
+    tgt = "the security advisory describes the patch and the fix"
+    off = "zzq qqz zqz qzq zzzq qqqz"
+    rows = ([(i, tgt + f" v{i}", "en") for i in range(8)]
+            + [(100 + i, off + f" w{i}", "zz") for i in range(8)]
+            # unlabeled docs drawn from each vocabulary
+            + [(200, tgt + " extra", "xx"), (201, off + " extra", "xx")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {r["doc_id"]: r for r in
+           dsir_logratio(docs, F.col("lang") == "en").collect()}
+    assert len(got) == 18
+    assert got[200]["logratio"] > got[201]["logratio"]
+    assert got[0]["logratio"] > 0 and got[100]["logratio"] < 0
+    assert got[0]["keep"] and not got[100]["keep"]
+
+    re_got = {r["doc_id"]: r["logratio"] for r in
+              dsir_logratio(docs.repartition(7), F.col("lang") == "en")
+              .collect()}
+    assert re_got == {k: v["logratio"] for k, v in got.items()}
+
+
+def test_upsample_epochs_deterministic_and_bounded(spark):
+    """upsample_epochs: every doc realizes floor(w) or ceil(w) copies
+    with epoch ids 0..n-1, the realization is a pure function of the
+    id (identical under different partitioning), and the corpus-level
+    mean copy count approaches w."""
+    import math
+
+    from casie_spark.corpus import upsample_epochs
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(400)], "doc_id long, text string")
+    w = 1.75
+    out = upsample_epochs(docs, F.lit(w)).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for did, eps in per_doc.items():
+        n = len(eps)
+        assert n in (math.floor(w), math.ceil(w))
+        assert sorted(eps) == list(range(n))
+    total = len(out)
+    assert abs(total / 400 - w) < 0.1  # hash draw ~ fair coin at p=.75
+
+    again = sorted((r["doc_id"], r["epoch"]) for r in
+                   upsample_epochs(docs.repartition(13), F.lit(w)).collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in out)
+
+    # fractional-only weight can drop docs entirely (w < 1)
+    half = upsample_epochs(docs, F.lit(0.5)).collect()
+    assert 0 < len(half) < 400
+    assert all(r["n_copies"] == 1 and r["epoch"] == 0 for r in half)

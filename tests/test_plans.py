@@ -196,3 +196,24 @@ def test_token_shards_single_exchange_no_global_sort(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "windowspecdefinition(shard" in plan, plan
     assert "], true, 0" not in plan, plan  # no global Sort
+
+
+def test_upsample_epochs_map_only(spark, sf_dir):
+    """q43: fractional upsampling is MAP-ONLY — zero exchanges, one
+    whole-stage-codegen span, scan pruned to (doc_id, lang).  At crawl
+    scale the epoch copies must come from explode, never a shuffle."""
+    plan = _plan(QUERIES["q43_upsample_epochs"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert plan.count("ReadSchema") == 1, plan
+    assert "struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_dsir_scores_broadcast_into_gram_stream(spark, sf_dir):
+    """q42: the 512-row bucket score table reaches the gram stream as
+    a broadcast hash join (never a sort-merge join against the
+    corpus-scale gram stream), and the per-doc mean keeps map-side
+    partial aggregation."""
+    plan = _plan(QUERIES["q42_dsir_weights"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
