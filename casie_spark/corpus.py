@@ -9,6 +9,11 @@ this module only sequences them in the order published pipelines
 1. host blocklist        (urlnorm.filter_blocked_hosts — no text read)
 2. URL-level dedup       (urlnorm.canonical_url keeper window)
 3. exact text dedup      (dedup.drop_exact_duplicates)
+3a. C4 line/page rules   (textstats.c4_clean_lines — optional,
+                          default off: terminal-punct / min-words /
+                          javascript line filters + lorem-ipsum /
+                          curly-brace page drops, applied before span
+                          dedup as in Raffel et al. 2020 §2.2)
 3b. line/paragraph dedup (dedup.drop_duplicate_lines — optional,
                           default off: the Dolma paragraph rule;
                           rewrites text, so it runs BEFORE the
@@ -48,6 +53,7 @@ def prepare_training_corpus(
     *,
     blocklist: list[str] | DataFrame | None = None,
     url_dedup: bool | None = None,
+    c4_line_rules: bool = False,
     line_dedup: bool = False,
     min_tokens: int = 5,
     min_quality: float | None = 0.3,
@@ -68,7 +74,8 @@ def prepare_training_corpus(
     ``(corpus, {stage: surviving_rows})`` instead.  Pass None to skip
     any gate; ``url_dedup=None`` auto-enables when ``url_col`` exists."""
     from .functions.redact import redact_pii
-    from .functions.textstats import quality_columns, repetition_columns
+    from .functions.textstats import (c4_clean_lines, quality_columns,
+                                      repetition_columns)
     from .functions.urlnorm import (canonical_url, filter_blocked_hosts)
     from .operators.dedup import (decontaminate, drop_duplicate_lines,
                                   drop_exact_duplicates,
@@ -95,6 +102,11 @@ def prepare_training_corpus(
                    out.withColumn("_rk", F.row_number().over(w))
                    .filter("_rk = 1").drop("_rk"))
     out = step("exact_dedup", drop_exact_duplicates(out, text_col, id_col))
+    if c4_line_rules:
+        # C4 applies its line/page rules before span dedup (Raffel et
+        # al. 2020 §2.2); map-only transform, no barrier needed
+        out = step("c4_line_rules",
+                   c4_clean_lines(out, text_col).drop("n_lines_kept"))
     if line_dedup:
         out = step("line_dedup",
                    drop_duplicate_lines(truncate(out), text_col, id_col))

@@ -246,3 +246,43 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
         F.round(F.sum(F.col("c") * F.col("logp")) / F.sum("c"), 4)
         .alias("mean_logp10"),
     )
+
+
+# --- C4 line-level cleaning -------------------------------------------------
+
+def c4_clean_lines(docs: DataFrame, text_col: str = "text",
+                   sep: str = "\n", min_words: int = 5,
+                   min_lines: int = 3) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    step that turned Common Crawl into C4; the repeated-span dedup
+    half of that section is :func:`casie_spark.operators.dedup.
+    drop_duplicate_lines`).  A line is KEPT iff it ends in a terminal
+    punctuation mark (``. ! ? "``), has at least ``min_words``
+    whitespace-delimited words, and does not mention ``javascript``
+    (case-insensitive).  The whole page is DROPPED iff fewer than
+    ``min_lines`` lines survive, or the original page contains the
+    placeholder phrase ``lorem ipsum`` (lowercased check) or a curly
+    brace ``{`` (code/template leakage).  Returns the input frame with
+    ``text_col`` rebuilt from the surviving lines plus
+    ``n_lines_kept``; non-text columns pass through.
+
+    Scale shape: MAP-ONLY — split, a filter lambda per line, and an
+    array_join, all inside one whole-stage-codegen span; zero
+    exchanges at any corpus size (plan-gated in test_plans.py).  The
+    per-line word count re-splits the line inside the lambda, which
+    stays JVM-side (higher-order functions, no UDF)."""
+    def _line_ok(ln: Column) -> Column:
+        n_words = F.size(F.filter(F.split(ln, r"\s+"),
+                                  lambda x: x != F.lit("")))
+        return (F.rtrim(ln).rlike('[.!?"]$')
+                & (n_words >= min_words)
+                & ~F.lower(ln).contains("javascript"))
+
+    kept = F.filter(F.split(F.col(text_col), sep, -1), _line_ok)
+    return (docs.withColumn("_kept", kept)
+            .withColumn("n_lines_kept", F.size("_kept"))
+            .filter((F.col("n_lines_kept") >= min_lines)
+                    & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+                    & ~F.col(text_col).contains("{"))
+            .withColumn(text_col, F.array_join("_kept", sep))
+            .drop("_kept"))

@@ -1005,6 +1005,61 @@ def q43_upsample_epochs(spark, sf_dir):
         "doc_id", "lang", "n_copies", "epoch")
 
 
+_Q44_CHUNK = 12
+
+
+def _q44_synth_lines(d):
+    """Deterministic line synthesis for q44 (the corpus has no line
+    structure or punctuation): 12-token chunks like q40, each chunk
+    decorated by its own hash16 — %3 picks the terminal mark ('.', '?'
+    or none) and %5==0 prepends 'javascript ' — plus page-level plants
+    ('Lorem Ipsum' filler on doc_id%11, a curly-brace code line on
+    doc_id%13).  Identical arithmetic runs in the DuckDB oracle."""
+    from .functions.textstats import hash16
+
+    ws = F.filter(F.split(F.col("text"), r"\s+"),
+                  lambda x: x != F.lit(""))
+    nchunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(_Q44_CHUNK)).cast("int"), F.lit(1))
+
+    def mk(i):
+        chunk = F.array_join(F.slice(ws, i * _Q44_CHUNK + 1, _Q44_CHUNK), " ")
+        h = hash16(chunk)
+        return F.concat(
+            F.when(h % 5 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+            chunk,
+            F.when(h % 3 == 0, F.lit("."))
+            .when(h % 3 == 1, F.lit("?")).otherwise(F.lit("")))
+
+    lined = F.concat_ws("\n", F.transform(F.sequence(F.lit(0), nchunks - 1),
+                                          mk))
+    txt = F.concat(
+        lined,
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nthis filler is Lorem Ipsum text.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nfunction() { return; }")).otherwise(F.lit("")))
+    return d.select("doc_id", txt.alias("text"))
+
+
+def q44_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning (textstats.c4_clean_lines — Raffel et
+    al. 2020 §2.2): keep lines ending in terminal punctuation with
+    >= 5 words and no 'javascript'; drop pages with < 3 surviving
+    lines or containing 'lorem ipsum' / '{'.  MAP-ONLY — the plan gate
+    asserts zero exchanges.  Result: per surviving doc, kept-line
+    count + md5/length of the rebuilt text, bit-equal across
+    engines."""
+    from .functions.textstats import c4_clean_lines
+
+    docs = _q44_synth_lines(_load(spark, sf_dir, "documents"))
+    out = c4_clean_lines(docs)
+    return out.select(
+        "doc_id", "n_lines_kept",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1049,6 +1104,7 @@ QUERIES = {
     "q41_token_shards": q41_token_shards,
     "q42_dsir_weights": q42_dsir_weights,
     "q43_upsample_epochs": q43_upsample_epochs,
+    "q44_c4_line_clean": q44_c4_line_clean,
 }
 
 
@@ -1594,6 +1650,60 @@ def _upsample_oracle() -> str:
         SELECT doc_id, lang, n_copies,
                CAST(unnest(range(0, n_copies)) AS INT) AS epoch
         FROM n WHERE n_copies > 0
+    """
+
+
+def _c4_line_clean_oracle() -> str:
+    """q44: identical 12-token chunking, per-chunk hash16 decoration
+    (%3 terminal mark, %5 javascript prefix), page plants on
+    doc_id%11/%13, then the C4 line rules as a list_filter lambda and
+    the page rules as a WHERE — all integer/string exact."""
+    c = _Q44_CHUNK
+    h = "('0x' || substring(md5(ch), 1, 4))::int"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), lined AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       list_transform(
+                           range(0, greatest(CAST(ceil(len(ws) / {c}.0) AS INT), 1)),
+                           i -> array_to_string(ws[(i*{c}+1):(i*{c}+{c})], ' ')),
+                       ch -> (CASE WHEN {h} % 5 = 0
+                                   THEN 'javascript ' ELSE '' END)
+                             || ch ||
+                             (CASE {h} % 3 WHEN 0 THEN '.'
+                                           WHEN 1 THEN '?' ELSE '' END)
+                   ), chr(10))
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'this filler is Lorem Ipsum text.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN chr(10) || 'function() {{ return; }}'
+                           ELSE '' END AS text
+            FROM base
+        ), kept AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                       ln -> regexp_matches(rtrim(ln), '[.!?"]$')
+                             AND len(list_filter(
+                                     regexp_split_to_array(ln, '\\s+'),
+                                     x -> x <> '')) >= 5
+                             AND NOT contains(lower(ln), 'javascript')
+                   ) AS kl
+            FROM lined
+        )
+        SELECT doc_id, CAST(len(kl) AS INT) AS n_lines_kept,
+               md5(array_to_string(kl, chr(10))) AS text_md5,
+               CAST(length(array_to_string(kl, chr(10))) AS BIGINT)
+               AS n_chars
+        FROM kept
+        WHERE len(kl) >= 3
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
     """
 
 
@@ -2216,6 +2326,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q41_token_shards": _token_shards_oracle(),
         "q42_dsir_weights": _dsir_oracle(),
         "q43_upsample_epochs": _upsample_oracle(),
+        "q44_c4_line_clean": _c4_line_clean_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -144,6 +144,27 @@ def test_prepare_training_corpus_line_dedup_stage(spark):
     assert report["line_dedup"] == 2  # transform, not a filter
 
 
+def test_prepare_training_corpus_c4_stage(spark):
+    """The optional 3a stage: C4 line rules rewrite the text (junk
+    lines dropped) and page rules drop whole docs, before the quality
+    gates score the cleaned text."""
+    good = "this sentence is long enough to survive the line rules."
+    rows = [
+        (1, f"{good}\nnav menu\n{good}\n{good}"),
+        (2, f"{good}\n{good}\n{good}\nclassic lorem ipsum filler."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        docs, c4_line_rules=True, min_tokens=0, min_quality=None,
+        max_dup_bigram_frac=None, max_top_word_frac=None,
+        redact=False, with_report=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1}                       # doc 2: lorem ipsum page
+    assert got[1] == "\n".join([good] * 3)       # nav line dropped
+    assert report["c4_line_rules"] == 1
+    assert list(out.columns) == ["doc_id", "text"]
+
+
 def test_write_training_shards_resumable(spark, tmp_path):
     """The corpus sink twin of sinks.resumable_run: interrupted input
     marks only delivered shards complete; resume writes the remainder;

@@ -217,3 +217,12 @@ def test_dsir_scores_broadcast_into_gram_stream(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_c4_line_clean_map_only(spark, sf_dir):
+    """q44: the C4 line rules are higher-order column functions — zero
+    exchanges, no UDF (BatchEvalPython/ArrowEvalPython), one scan."""
+    plan = _plan(QUERIES["q44_c4_line_clean"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("ReadSchema") == 1, plan

@@ -116,3 +116,44 @@ def test_unigram_logprob_golden(spark):
     assert m[2]["mean_logp10"] == round((lp_ab + lp_c) / 2, 4)
     # corpus-typical doc scores higher than the rare-token doc
     assert m[1]["mean_logp10"] > m[2]["mean_logp10"]
+
+
+def test_c4_clean_lines_planted_cases(spark):
+    """Every C4 line rule and page rule exercised on planted lines:
+    terminal punctuation, min word count, javascript mention,
+    min surviving lines, lorem-ipsum page, curly-brace page."""
+    from casie_spark.functions.textstats import c4_clean_lines
+
+    good = "this line has enough words to survive."
+    rows = [
+        # doc 1: 3 good lines + each line-rule violation interleaved
+        (1, "\n".join([
+            good,
+            "no terminal punctuation so it drops",
+            "too few words.",
+            "another perfectly fine sentence with seven words?",
+            "this mentions JavaScript APIs so it drops.",
+            'a quoted ending also counts as terminal punctuation "',
+        ])),
+        # doc 2: only 2 lines survive -> whole page dropped
+        (2, "\n".join([good, good, "short."])),
+        # doc 3: page contains Lorem Ipsum -> dropped despite good lines
+        (3, "\n".join([good, good, good, "classic Lorem Ipsum filler."])),
+        # doc 4: curly brace -> dropped
+        (4, "\n".join([good, good, good, "var f = function() {"])),
+        # doc 5: clean page, all lines survive
+        (5, "\n".join([good] * 4)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean_lines(docs).collect()}
+
+    assert set(out) == {1, 5}
+    assert out[1]["n_lines_kept"] == 3
+    kept1 = out[1]["text"].split("\n")
+    assert kept1 == [
+        good,
+        "another perfectly fine sentence with seven words?",
+        'a quoted ending also counts as terminal punctuation "',
+    ]
+    assert out[5]["n_lines_kept"] == 4
+    assert out[5]["text"] == "\n".join([good] * 4)
