@@ -1,0 +1,102 @@
+"""Graph queries over the constructed knowledge graph.
+
+The engine's sinks materialize the KG as partitioned edge/vertex
+tables (`sources/sinks.py:write_graph_table`); these operators are the
+query side a KG consumer runs next: neighborhood expansion (k_hop) and
+global importance (pagerank).  The reference emits its graph as flat
+triple files and leaves querying to downstream tools (see
+/root/reference's output writers, e.g. to_one_file_each); re-homing the
+queries on Spark is what a distributed engine adds.
+
+Scale shapes:
+- ``k_hop`` is frontier BFS: per hop, one equi-join frontier->edges
+  (the frontier is usually tiny vs the edge table — AQE broadcasts
+  it), one distinct, one anti-join against the visited set.  The
+  visited/frontier frames are truncate()d every hop (iterative-loop
+  barrier policy — each hop's plan embeds the previous one otherwise).
+- ``pagerank`` is the classic power iteration as join+groupBy: ranks
+  live as an (v, pr) frame repartitioned once on v; each iteration
+  joins edge contributions and sums per dst — two data-scale
+  exchanges per iteration, which is the textbook distributed PageRank
+  shuffle bound.  Ranks are truncate()d per iteration.  Dangling
+  vertices (out-degree 0) contribute their mass uniformly — handled
+  with a 1-row broadcast aggregate, never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..util import materialize, truncate
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
+          src_col: str = "src", dst_col: str = "dst",
+          seed_col: str = "v") -> DataFrame:
+    """Min-hop BFS from ``seeds``: returns (v, hop) for every vertex
+    reachable within ``k`` directed hops, hop = shortest distance from
+    ANY seed (seeds themselves at hop 0).  Frontier-only expansion —
+    each hop joins the PREVIOUS frontier, not the visited set, so a
+    vertex is expanded exactly once."""
+    e = materialize(edges.select(F.col(src_col).alias("_s"),
+                                 F.col(dst_col).alias("_d")).distinct())
+    frontier = truncate(
+        seeds.select(F.col(seed_col).alias("v")).distinct()
+        .withColumn("hop", F.lit(0)))
+    visited = frontier
+    for i in range(1, k + 1):
+        nxt = (e.join(frontier.select(F.col("v").alias("_s")), "_s")
+               .select(F.col("_d").alias("v")).distinct()
+               .join(visited.select("v"), "v", "left_anti")
+               .withColumn("hop", F.lit(i)))
+        frontier = truncate(nxt)
+        if frontier.isEmpty():
+            break
+        visited = truncate(visited.unionByName(frontier))
+    return visited
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             round_to: int | None = 6) -> DataFrame:
+    """Fixed-iteration PageRank over the directed edge list (duplicate
+    edges collapse; a vertex is any endpoint).  Returns (v, pr) after
+    ``iters`` power iterations from the uniform vector, teleport
+    ``1-damping``; dangling mass is redistributed uniformly each
+    iteration (the standard stochastic-matrix completion), computed as
+    a 1-row aggregate joined broadcast-wise — no driver collect.
+    ``round_to`` rounds the final pr (cross-engine float rule; None
+    keeps raw doubles)."""
+    e = materialize(edges.select(F.col(src_col).alias("_s"),
+                                 F.col(dst_col).alias("_d")).distinct())
+    verts = materialize(
+        e.select(F.col("_s").alias("v"))
+        .unionByName(e.select(F.col("_d").alias("v"))).distinct())
+    n = verts.count()
+    deg = materialize(e.groupBy("_s").agg(F.count("*").alias("_deg")))
+    # out-degree per vertex (0 for dangling), fixed across iterations
+    vdeg = materialize(
+        verts.join(deg, verts.v == deg._s, "left")
+        .select("v", F.coalesce("_deg", F.lit(0)).alias("deg")))
+    ranks = truncate(vdeg.withColumn("pr", F.lit(1.0 / n)))
+    for _ in range(iters):
+        dangling = (ranks.filter(F.col("deg") == 0)
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
+        contrib = (e.join(ranks.filter(F.col("deg") > 0)
+                          .select(F.col("v").alias("_s"),
+                                  (F.col("pr") / F.col("deg"))
+                                  .alias("_c")), "_s")
+                   .groupBy("_d").agg(F.sum("_c").alias("_in")))
+        ranks = truncate(
+            vdeg.join(contrib, vdeg.v == contrib._d, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v", "deg",
+                (F.lit((1.0 - damping) / n)
+                 + damping * (F.coalesce("_in", F.lit(0.0))
+                              + F.col("_dm") / n)).alias("pr")))
+    out = ranks.select("v", "pr")
+    if round_to is not None:
+        out = out.select("v", F.round("pr", round_to).alias("pr"))
+    return out

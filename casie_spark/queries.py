@@ -1060,6 +1060,55 @@ def q44_c4_line_clean(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"))
 
 
+def _q45_edges(d):
+    """Deterministic KG-shaped edge synthesis (the corpus has no graph
+    structure): vertices are word bigrams, edges connect consecutive
+    bigrams — a co-occurrence graph whose vertex/edge counts grow with
+    the vocabulary, not the corpus.  Built LINEARLY as posexplode +
+    lead window on the doc_id partitioning (the repetition_columns
+    shape — a nested transform/element_at form re-evaluates the inner
+    array per element, O(n^3) per doc, measured 158 s vs 3 s at
+    sf0.01).  Identical lead-window construction runs in the oracle."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                  lambda x: x != F.lit(""))
+    toks = d.select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    g = (toks.withColumn("w1", F.lead("w", 1).over(w))
+         .withColumn("w2", F.lead("w", 2).over(w)))
+    return (g.filter(F.col("w2").isNotNull())
+            .select(F.concat_ws("_", "w", "w1").alias("src"),
+                    F.concat_ws("_", "w1", "w2").alias("dst"))
+            .distinct())
+
+
+def q45_khop_neighbors(spark, sf_dir):
+    """k-hop neighborhood query over the synthesized co-occurrence
+    graph (graph.k_hop — frontier BFS with truncate barriers per hop):
+    min-hop distance within 3 directed hops from the hash-selected
+    seed set (hash16(src) % 37 == 0).  The oracle unrolls the same BFS
+    as three join stages."""
+    from .functions.textstats import hash16
+    from .operators.graph import k_hop
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    seeds = (e.select(F.col("src").alias("v")).distinct()
+             .filter(hash16(F.col("v")) % 37 == 0))
+    return k_hop(e, seeds, k=3).select("v", "hop")
+
+
+def q46_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the same synthesized graph
+    (graph.pagerank — power iteration as join+groupBy, dangling mass
+    redistributed via a 1-row broadcast aggregate, ranks truncated per
+    iteration).  5 iterations, damping 0.85, round-6 (cross-engine
+    float rule); the oracle unrolls the five iterations as CTE
+    stages."""
+    from .operators.graph import pagerank
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    return pagerank(e, iters=5).select("v", "pr")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1105,6 +1154,8 @@ QUERIES = {
     "q42_dsir_weights": q42_dsir_weights,
     "q43_upsample_epochs": q43_upsample_epochs,
     "q44_c4_line_clean": q44_c4_line_clean,
+    "q45_khop_neighbors": q45_khop_neighbors,
+    "q46_pagerank": q46_pagerank,
 }
 
 
@@ -1705,6 +1756,81 @@ def _c4_line_clean_oracle() -> str:
           AND NOT contains(lower(text), 'lorem ipsum')
           AND NOT contains(text, '{{')
     """
+
+
+_GRAPH_EDGES_CTE = """
+        base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, unnest(ws) AS w,
+                   generate_subscripts(ws, 1) AS pos
+            FROM base
+        ), grams AS (
+            SELECT doc_id, w,
+                   lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+            FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), edges AS MATERIALIZED (
+            SELECT DISTINCT w || '_' || w1 AS src, w1 || '_' || w2 AS dst
+            FROM grams WHERE w2 IS NOT NULL
+        )"""
+
+
+def _khop_oracle(k: int = 3) -> str:
+    """q45: identical bigram-adjacency synthesis, then min-hop BFS
+    unrolled as one frontier-join stage per hop (frontier = previous
+    hop only, anti-joined against everything seen — the same
+    expansion-order argument that makes the operator's hop minimal)."""
+    from .functions.textstats import hash16_sql
+
+    ctes = [_GRAPH_EDGES_CTE.strip(), f"""
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS v, 0 AS hop FROM edges
+            WHERE {hash16_sql('src')} % 37 = 0
+        )"""]
+    seen = "SELECT v FROM h0"
+    for i in range(1, k + 1):
+        ctes.append(f"""
+        h{i} AS MATERIALIZED (
+            SELECT v, {i} AS hop FROM (
+                SELECT DISTINCT e.dst AS v
+                FROM edges e JOIN h{i-1} f ON e.src = f.v) t
+            WHERE v NOT IN ({seen})
+        )""")
+        seen += f" UNION ALL SELECT v FROM h{i}"
+    union = " UNION ALL ".join(f"SELECT v, hop FROM h{i}"
+                               for i in range(k + 1))
+    return "WITH " + ", ".join(ctes) + f" {union}"
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """q46: identical synthesis, then the power iteration unrolled as
+    one (dangling-mass, contribution, rank) CTE triple per iteration —
+    double arithmetic matches Spark's and the final round-6 is the
+    cross-engine float rule."""
+    d = damping
+    ctes = [_GRAPH_EDGES_CTE.strip(), f"""
+        verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY src),
+        vdeg AS MATERIALIZED (SELECT v, coalesce(dg, 0) AS dg
+                 FROM verts LEFT JOIN outdeg USING (v)),
+        nv AS (SELECT count(*) AS n FROM verts),
+        r0 AS MATERIALIZED (SELECT v, dg, 1.0 / n AS pr FROM vdeg, nv)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        dm{i} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM r{i-1}
+                  WHERE dg = 0),
+        c{i} AS (SELECT e.dst AS v, sum(r.pr / r.dg) AS cin
+                 FROM edges e JOIN r{i-1} r ON e.src = r.v AND r.dg > 0
+                 GROUP BY e.dst),
+        r{i} AS MATERIALIZED (SELECT vd.v, vd.dg,
+                        ({1.0 - d}) / nv.n
+                        + {d} * (coalesce(c.cin, 0.0) + dd.dm / nv.n) AS pr
+                 FROM vdeg vd LEFT JOIN c{i} c ON vd.v = c.v, nv, dm{i} dd)""")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT v, round(pr, 6) AS pr FROM r{iters}")
 
 
 def _line_dedup_oracle() -> str:
@@ -2327,6 +2453,8 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q42_dsir_weights": _dsir_oracle(),
         "q43_upsample_epochs": _upsample_oracle(),
         "q44_c4_line_clean": _c4_line_clean_oracle(),
+        "q45_khop_neighbors": _khop_oracle(),
+        "q46_pagerank": _pagerank_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

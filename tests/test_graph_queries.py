@@ -1,0 +1,87 @@
+"""Graph-query operators (operators/graph.py): min-hop BFS and
+fixed-iteration PageRank — hand-graph goldens, a NumPy power-iteration
+differential, and partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from casie_spark.operators.graph import k_hop, pagerank
+
+
+def _edges(spark, pairs, parts=1):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def test_k_hop_min_distance_and_cutoff(spark):
+    """Path graph a->b->c->d->e plus a shortcut a->c: hop is the MIN
+    distance (c at 1 via the shortcut, not 2), expansion stops at k,
+    and unreachable/reverse vertices never appear."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                       ("a", "c"), ("x", "a")])
+    seeds = spark.createDataFrame([("a",)], "v string")
+    got = {r["v"]: r["hop"] for r in k_hop(e, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # k large enough reaches the whole forward chain; x is upstream only
+    got4 = {r["v"]: r["hop"] for r in k_hop(e, seeds, k=4).collect()}
+    assert got4 == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_k_hop_multi_seed_and_early_exhaustion(spark):
+    """Two seeds race: hop = min over seeds.  A frontier that empties
+    before k stops iterating (the early-exit branch)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("z", "c")])
+    seeds = spark.createDataFrame([("a",), ("z",)], "v string")
+    got = {r["v"]: r["hop"] for r in k_hop(e, seeds, k=10).collect()}
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def _np_pagerank(pairs, iters, damping=0.85):
+    verts = sorted({v for p in pairs for v in p})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    dedup = sorted(set(pairs))
+    deg = np.zeros(n)
+    for s, _ in dedup:
+        deg[ix[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = pr[deg == 0].sum()
+        nxt += damping * dangling / n
+        for s, d in dedup:
+            nxt[ix[d]] += damping * pr[ix[s]] / deg[ix[s]]
+        pr = nxt
+    return {v: pr[ix[v]] for v in verts}
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_numpy_power_iteration(spark, iters):
+    """Differential vs a dense NumPy implementation on a 12-vertex
+    graph with a dangling vertex and duplicate edges (they collapse)."""
+    pairs = [(f"v{i}", f"v{(i * 3 + 1) % 12}") for i in range(12)]
+    pairs += [("v0", "v5"), ("v0", "v5"), ("v7", "v2")]  # dup collapses
+    pairs += [("v3", "v11")]  # v11 has no out-edge -> dangling
+    pairs = [p for p in pairs if p[0] != "v11"]
+    e = _edges(spark, pairs, parts=4)
+    got = {r["v"]: r["pr"] for r in
+           pagerank(e, iters=iters, round_to=None).collect()}
+    want = _np_pagerank(pairs, iters)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # probability mass is conserved (dangling redistribution correct)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partition_invariant_and_rounded(spark):
+    """Same ranks under different input partitioning; round_to applies
+    the cross-engine float rule."""
+    pairs = [(f"v{i}", f"v{(i * 7 + 2) % 30}") for i in range(30)]
+    a = {(r["v"], r["pr"]) for r in pagerank(_edges(spark, pairs)).collect()}
+    b = {(r["v"], r["pr"]) for r in
+         pagerank(_edges(spark, pairs, parts=13)).collect()}
+    assert a == b
+    assert all(round(pr, 6) == pr for _, pr in a)
