@@ -274,7 +274,8 @@ def hashed_gram_buckets(docs: DataFrame, text_col: str = "text",
 
 def dsir_logratio(docs: DataFrame, target, text_col: str = "text",
                   id_col: str = "doc_id", n_buckets: int = 512,
-                  alpha: float = 1.0, threshold: float = 0.0) -> DataFrame:
+                  alpha: float = 1.0, threshold: float = 0.0,
+                  stats_frac: float | None = None) -> DataFrame:
     """DSIR importance scoring (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
     by how much more likely its hashed n-gram bag is under the TARGET
@@ -301,18 +302,40 @@ def dsir_logratio(docs: DataFrame, target, text_col: str = "text",
     sample instead (DSIR's distributions are estimates, not exact
     counts; the oracle-exact full-corpus form here is the verifiable
     special case) and the cache becomes a 512-row broadcast table.
+    ``stats_frac`` IS that 100 TB path: fit the two distributions on a
+    deterministic hash-sample of documents (hash16(id:dsir)/65536 <
+    stats_frac — stable across runs and cluster sizes, the
+    quota_sample rule) so the corpus-scale gram pass runs exactly once
+    (scoring) with nothing materialized, and only the sample's gram
+    stream feeds the 512-row stats.
 
     Measured (sf0.1, local[32], best-of-3): 12.0 s as three gram
     passes -> 6.2 s with the single materialized pass."""
+    from .functions.textstats import hash16
     from .util import materialize
 
     flagged = docs.select(
         F.col(id_col).alias("_did"), F.col(text_col).alias("_txt"),
         target.alias("_t"))
-    bucketed = materialize(hashed_gram_buckets(
-        flagged, text_col="_txt", id_col="_did", n_buckets=n_buckets,
-        keep_cols=("_t",)))
-    stats = bucketed.groupBy("b").agg(
+    if stats_frac is None:
+        # oracle-exact: one materialized gram pass feeds stats AND
+        # per-doc scoring
+        bucketed = materialize(hashed_gram_buckets(
+            flagged, text_col="_txt", id_col="_did", n_buckets=n_buckets,
+            keep_cols=("_t",)))
+        stats_src = bucketed
+    else:
+        # estimate the distributions on a hash-sample; the full gram
+        # stream is then single-consumer and stays lazy (no cache)
+        bucketed = hashed_gram_buckets(
+            flagged, text_col="_txt", id_col="_did", n_buckets=n_buckets,
+            keep_cols=("_t",))
+        u = (hash16(F.concat(F.col("_did").cast("string"),
+                             F.lit(":dsir"))) / F.lit(65536.0))
+        stats_src = hashed_gram_buckets(
+            flagged.filter(u < float(stats_frac)), text_col="_txt",
+            id_col="_did", n_buckets=n_buckets, keep_cols=("_t",))
+    stats = stats_src.groupBy("b").agg(
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
         F.count("*").alias("cr"),
     )

@@ -270,3 +270,30 @@ def test_upsample_epochs_deterministic_and_bounded(spark):
     half = upsample_epochs(docs, F.lit(0.5)).collect()
     assert 0 < len(half) < 400
     assert all(r["n_copies"] == 1 and r["epoch"] == 0 for r in half)
+
+
+def test_dsir_sample_fit_scale_path(spark):
+    """stats_frac fits the bucket distributions on a deterministic
+    hash-sample (the 100 TB path): scores shift slightly but the
+    target/pool separation and keep flags survive, and the realization
+    is partition-invariant."""
+    from casie_spark.corpus import dsir_logratio
+    from pyspark.sql import functions as F
+
+    tgt = "the security advisory describes the patch and the fix"
+    off = "zzq qqz zqz qzq zzzq qqqz"
+    rows = ([(i, tgt + f" v{i}", "en") for i in range(20)]
+            + [(100 + i, off + f" w{i}", "zz") for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {r["doc_id"]: r for r in
+           dsir_logratio(docs, F.col("lang") == "en",
+                         stats_frac=0.5).collect()}
+    assert len(got) == 40  # every doc scored, sample only fits stats
+    assert all(got[i]["keep"] for i in range(20))
+    assert not any(got[100 + i]["keep"] for i in range(20))
+
+    re_got = {r["doc_id"]: r["logratio"] for r in
+              dsir_logratio(docs.repartition(9), F.col("lang") == "en",
+                            stats_frac=0.5).collect()}
+    assert re_got == {k: v["logratio"] for k, v in got.items()}
