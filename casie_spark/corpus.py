@@ -391,3 +391,39 @@ def upsample_epochs(docs: DataFrame, weight, id_col: str = "doc_id",
                         F.explode(F.sequence(F.lit(0),
                                              F.col("n_copies") - 1)))
             .withColumn("epoch", F.col("epoch").cast("int")))
+
+
+def temperature_weights(docs: DataFrame, key_col: str = "lang",
+                        alpha: float = 0.5,
+                        round_to: int | None = 6) -> DataFrame:
+    """Temperature-based mixture reweighting — the multilingual
+    sampling rule of mBERT/XLM-R/mT5 (sample group k with probability
+    proportional to p_k^alpha; alpha < 1 flattens the distribution
+    toward rare groups, alpha = 1 is the raw corpus).  Returns the
+    input rows plus ``weight``: the expected copy count that realizes
+    the tempered mixture, weight_k = (p_k^alpha / sum_j p_j^alpha) /
+    p_k.  Summed over the corpus the weights equal N — total corpus
+    size is preserved, mass moves from head groups to tail groups.
+    Feed the column into :func:`upsample_epochs` for the realized
+    copies (``round_to`` fixes the weight before the hash draw so the
+    realization is bit-identical across engines).
+
+    Scale shape: ONE groupBy(key) collapsing to a groups-scale frame
+    (map-side combinable count), a single-partition window over those
+    few rows for the normalizer, and a broadcast join back onto the
+    corpus — the doc stream is never shuffled."""
+    counts = docs.groupBy(key_col).agg(F.count("*").alias("_ck"))
+    # pmod trick as in dsir_logratio: constant partition key without
+    # WindowExec's no-partition warning; the frame is groups-scale
+    wall = (Window.partitionBy(F.pmod(F.col("_ck"), F.lit(1)))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    a = float(alpha)
+    n_total = F.sum("_ck").over(wall)
+    pk = F.col("_ck") / n_total
+    qk = F.pow(pk, F.lit(a)) / F.sum(F.pow(pk, F.lit(a))).over(wall)
+    w = qk / pk
+    if round_to is not None:
+        w = F.round(w, round_to)
+    weights = counts.select(key_col, w.alias("weight"))
+    return docs.join(F.broadcast(weights), key_col)

@@ -1060,6 +1060,43 @@ def q44_c4_line_clean(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"))
 
 
+def q47_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture resampling (corpus.temperature_weights
+    composed with corpus.upsample_epochs — the multilingual p^alpha
+    sampling rule of mBERT/XLM-R/mT5 at alpha=0.5): per-lang expected
+    copy counts that flatten the language distribution while
+    preserving total corpus size, realized as deterministic epoch
+    copies.  One groups-scale aggregate + broadcast join back; the
+    realization is map-only."""
+    from .corpus import temperature_weights, upsample_epochs
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    wtd = temperature_weights(d, "lang", alpha=0.5)
+    return upsample_epochs(wtd, F.col("weight")).select(
+        "doc_id", "lang", "weight", "n_copies", "epoch")
+
+
+def q48_warc_roundtrip(spark, sf_dir):
+    """WARC/WET ingest round trip (sources.warc): render every doc as
+    a WET conversion record (format_warc) and parse it back with the
+    column-op parser (parse_warc_records) — target URI, record type,
+    byte-accurate Content-Length, payload intact.  MAP-ONLY string
+    ops; the file-level lineSep record splitting is exercised in
+    test_warc.py (the oracle contract has no file surface)."""
+    from .sources.warc import format_warc, parse_warc_records
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    parsed = parse_warc_records(format_warc(d))
+    return parsed.select(
+        "doc_id", "target_uri", "warc_type", "content_length",
+        F.md5("payload").alias("payload_md5"),
+        (F.col("payload") == F.col("text")).alias("ok"))
+
+
 def _q45_edges(d):
     """Deterministic KG-shaped edge synthesis (the corpus has no graph
     structure): vertices are word bigrams, edges connect consecutive
@@ -1156,6 +1193,8 @@ QUERIES = {
     "q44_c4_line_clean": q44_c4_line_clean,
     "q45_khop_neighbors": q45_khop_neighbors,
     "q46_pagerank": q46_pagerank,
+    "q47_temperature_mix": q47_temperature_mix,
+    "q48_warc_roundtrip": q48_warc_roundtrip,
 }
 
 
@@ -1833,6 +1872,90 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
             + f" SELECT v, round(pr, 6) AS pr FROM r{iters}")
 
 
+def _temperature_mix_oracle(alpha: float = 0.5) -> str:
+    """q47: identical per-lang share -> p^alpha renormalization ->
+    expected-copy weight (round-6 BEFORE the hash draw, so the
+    realized copies are bit-identical), then the q43 upsample shape
+    (hash16(id:epoch)/65536 draw, range-unnest epochs)."""
+    from .functions.textstats import hash16_sql
+
+    h16 = hash16_sql("CAST(d.doc_id AS VARCHAR) || ':epoch'")
+    return f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS ck FROM documents GROUP BY lang
+        ), nrm AS (
+            SELECT lang, ck / (SELECT sum(ck) FROM counts) AS pk
+            FROM counts
+        ), wts AS (
+            SELECT lang,
+                   round((pow(pk, {alpha})
+                          / (SELECT sum(pow(pk, {alpha})) FROM nrm))
+                         / pk, 6) AS weight
+            FROM nrm
+        ), w2 AS (
+            SELECT d.doc_id, d.lang, wts.weight,
+                   {h16} / 65536.0 AS u
+            FROM documents d JOIN wts USING (lang)
+        ), n AS (
+            SELECT doc_id, lang, weight,
+                   CAST(floor(weight) + CASE WHEN u < weight - floor(weight)
+                                             THEN 1 ELSE 0 END AS INT)
+                   AS n_copies
+            FROM w2
+        )
+        SELECT doc_id, lang, weight, n_copies,
+               CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+        FROM n WHERE n_copies > 0
+    """
+
+
+def _warc_roundtrip_oracle() -> str:
+    """q48: identical record rendering (byte Content-Length via
+    octet_length(encode)) and the same header-block/payload split —
+    substring after the first blank line, trailing newlines trimmed,
+    per-header regexp_extract (RE2 '[^\\n]' newline class matches
+    Spark's Java regex here)."""
+    return r"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   'https://' || source || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), recs AS (
+            SELECT doc_id, text,
+                   'WARC/1.0' || chr(10)
+                   || 'WARC-Type: conversion' || chr(10)
+                   || 'WARC-Target-URI: ' || url || chr(10)
+                   || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(10)
+                   || 'Content-Length: '
+                   || CAST(octet_length(encode(text)) AS VARCHAR)
+                   || chr(10) || chr(10) || text || chr(10) || chr(10)
+                   AS record
+            FROM d
+        ), split AS (
+            SELECT doc_id, text, record,
+                   split_part(record, chr(10) || chr(10), 1) AS head
+            FROM recs
+        ), parsed AS (
+            SELECT doc_id, text,
+                   nullif(regexp_extract(head,
+                       'WARC-Target-URI: ([^\n]+)', 1), '') AS target_uri,
+                   nullif(regexp_extract(head,
+                       'WARC-Type: ([^\n]+)', 1), '') AS warc_type,
+                   CAST(nullif(regexp_extract(head,
+                       'Content-Length: ([0-9]+)', 1), '') AS BIGINT)
+                   AS content_length,
+                   rtrim(substring(record, length(head) + 3), chr(10))
+                   AS payload
+            FROM split
+        )
+        SELECT doc_id, target_uri, warc_type, content_length,
+               md5(payload) AS payload_md5,
+               payload = text AS ok
+        FROM parsed
+    """
+
+
 def _line_dedup_oracle() -> str:
     """q40: identical 12-token re-lining + boilerplate append, then the
     first-occurrence rule as a row_number window over the line string
@@ -2455,6 +2578,8 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q44_c4_line_clean": _c4_line_clean_oracle(),
         "q45_khop_neighbors": _khop_oracle(),
         "q46_pagerank": _pagerank_oracle(),
+        "q47_temperature_mix": _temperature_mix_oracle(),
+        "q48_warc_roundtrip": _warc_roundtrip_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

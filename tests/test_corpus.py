@@ -4,6 +4,8 @@ input schema."""
 
 from __future__ import annotations
 
+import pytest
+
 from casie_spark.corpus import prepare_training_corpus
 
 # distinct survivor bodies (enough stopwords/alpha to pass quality,
@@ -297,3 +299,30 @@ def test_dsir_sample_fit_scale_path(spark):
               dsir_logratio(docs.repartition(9), F.col("lang") == "en",
                             stats_frac=0.5).collect()}
     assert re_got == {k: v["logratio"] for k, v in got.items()}
+
+
+def test_temperature_weights_properties(spark):
+    """Temperature reweighting: total expected corpus size preserved
+    (sum of weights == N), rare groups upweighted above 1 and head
+    groups below 1 at alpha < 1, and alpha = 1 is the identity."""
+    from casie_spark.corpus import temperature_weights
+    from pyspark.sql import functions as F
+
+    rows = ([(i, "en") for i in range(90)]
+            + [(100 + i, "sw") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = temperature_weights(docs, "lang", alpha=0.5, round_to=None)
+    w = {r["lang"]: r["weight"] for r in
+         out.select("lang", "weight").distinct().collect()}
+    assert w["sw"] > 1.0 > w["en"]
+    total = out.agg(F.sum("weight")).first()[0]
+    assert abs(total - 100) < 1e-9
+    # tempered shares: q_sw/q_en == (p_sw/p_en)^alpha
+    assert (10 * w["sw"]) / (90 * w["en"]) == pytest.approx(
+        (10 / 90) ** 0.5, rel=1e-12)
+
+    ident = {r["lang"]: r["weight"] for r in
+             temperature_weights(docs, "lang", alpha=1.0, round_to=None)
+             .select("lang", "weight").distinct().collect()}
+    assert ident["en"] == pytest.approx(1.0) and ident["sw"] == pytest.approx(1.0)

@@ -226,3 +226,22 @@ def test_c4_line_clean_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("ReadSchema") == 1, plan
+
+
+def test_temperature_mix_broadcasts_group_weights(spark, sf_dir):
+    """q47: the per-group weight table reaches the doc stream as a
+    broadcast join; the only doc-scale aggregation is the groupBy(key)
+    with map-side partial aggregation (5 keys -> ~5 rows per task)."""
+    plan = _plan(QUERIES["q47_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_warc_roundtrip_map_only(spark, sf_dir):
+    """q48: WARC render+parse is pure string column math — zero
+    exchanges, no Python eval, one scan."""
+    plan = _plan(QUERIES["q48_warc_roundtrip"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("ReadSchema") == 1, plan
