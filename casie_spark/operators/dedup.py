@@ -539,3 +539,72 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
         .filter(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", "sim")
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   n_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-level
+    semantic dedup — cluster the corpus with a k-means coarse
+    quantizer, compute pairwise cosine WITHIN each cluster only, link
+    pairs above ``threshold``, and keep one representative (min id)
+    per connected duplicate group.  Returns (id, cell, component,
+    keep) for every vector; survivors are ``keep = true``.
+
+    Scale shape: the quantizer is the same fixed-seed pyspark.ml
+    KMeans as similarity.ivf_topk (deterministic; centroid table is
+    n_cells × dim); the quadratic is BOUNDED per cell — that bound is
+    the paper's entire point, clusters cap the pair count at
+    sum(|cell|²) instead of |corpus|² (size n_cells to the corpus so
+    cells stay ~|corpus|/n_cells; skewed cells are the k-means
+    analogue of the LSH max_bucket cap).  The duplicate groups close
+    into components with the same truncate-barriered min-label
+    propagation as near-dup cluster assembly (q36).
+
+    No SQL oracle by design (k-means is iterative) — q49 is rows-only
+    with its own gates: planted-group survivorship, partition
+    invariance, and exact agreement with brute-force pairs at
+    cell-count 1 (tests/test_dedup_similarity.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..util import materialize
+    from .canonicalize import connected_components
+    from .similarity import cosine
+
+    if n_cells <= 1:
+        # degenerate quantizer = exact brute-force mode (KMeans needs
+        # k >= 2); used by the differential test against
+        # embedding_neardup pairs
+        assigned = materialize(
+            emb.select(id_col, vec_col, F.lit(0).alias("cell")))
+    else:
+        feat = emb.select(
+            F.col(id_col), F.col(vec_col),
+            array_to_vector(
+                F.col(vec_col).cast("array<double>")).alias("_fv"),
+        )
+        km = KMeans(k=n_cells, seed=42, featuresCol="_fv",
+                    predictionCol="cell")
+        model = km.fit(feat)
+        assigned = materialize(
+            model.transform(feat).select(id_col, vec_col, "cell"))
+
+    a = assigned.select(F.col(id_col).alias("src"),
+                        F.col(vec_col).alias("_va"), "cell")
+    b = assigned.select(F.col(id_col).alias("dst"),
+                        F.col(vec_col).alias("_vb"), "cell")
+    edges = (
+        a.join(b, "cell").filter(F.col("src") < F.col("dst"))
+        .withColumn("_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("_sim") >= float(threshold))
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        edges, assigned.select(F.col(id_col).alias("sid")), id_col="sid")
+    return (
+        assigned.join(comp, assigned[id_col] == comp.sid)
+        .select(id_col, "cell", "component",
+                (F.col(id_col) == F.col("component")).alias("keep"))
+    )

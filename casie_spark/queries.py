@@ -1097,6 +1097,20 @@ def q48_warc_roundtrip(spark, sf_dir):
         (F.col("payload") == F.col("text")).alias("ok"))
 
 
+def q49_semantic_dedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup — Abbas et al. 2023): k-means
+    cells bound the pairwise-cosine quadratic, duplicate groups close
+    into components, one survivor (min id) per group.  Rows-only (the
+    quantizer is iterative k-means, not SQL-expressible — same
+    contract as q25–q28); its own gates live in
+    test_dedup_similarity.py (planted-group survivorship, partition
+    invariance, n_cells=1 brute-force differential)."""
+    from .operators.dedup import semantic_dedup
+
+    return semantic_dedup(_load(spark, sf_dir, "embeddings"),
+                          threshold=0.4, n_cells=16)
+
+
 def _q45_edges(d):
     """Deterministic KG-shaped edge synthesis (the corpus has no graph
     structure): vertices are word bigrams, edges connect consecutive
@@ -1195,6 +1209,7 @@ QUERIES = {
     "q46_pagerank": q46_pagerank,
     "q47_temperature_mix": q47_temperature_mix,
     "q48_warc_roundtrip": q48_warc_roundtrip,
+    "q49_semantic_dedup": q49_semantic_dedup,
 }
 
 

@@ -448,3 +448,76 @@ def test_drop_duplicate_lines_first_occurrence(spark):
     assert got[2] == "\nepsilon zeta"                  # empty line kept
     assert got[3] == ""                                # all lines deduped
     assert got[4] == "eta theta"                       # intra-doc repeat cut
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup: three planted near-identical groups plus singleton
+    noise — exactly one survivor (min id) per group, singletons all
+    kept, realization partition-invariant."""
+    import numpy as np
+
+    from casie_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = {g: rng.randn(16) for g in range(3)}
+    gid = 0
+    for g in range(3):          # groups of 4 near-identical vectors
+        for m in range(4):
+            v = base[g] + 1e-4 * rng.randn(16)
+            rows.append((gid, [float(x) for x in v], g))
+            gid += 1
+    for _ in range(8):          # singleton noise, far from everything
+        rows.append((gid, [float(x) for x in rng.randn(16) * 5], -1))
+        gid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, n_cells=4).collect()}
+    assert len(out) == 20
+    survivors = sorted(v for v, r in out.items() if r["keep"])
+    # one per planted group (the min id: 0, 4, 8) + all 8 singletons
+    assert survivors == [0, 4, 8] + list(range(12, 20))
+    for g in range(3):
+        comps = {out[g * 4 + m]["component"] for m in range(4)}
+        assert comps == {g * 4}
+
+    again = sorted((r["vec_id"], r["component"], r["keep"]) for r in
+                   semantic_dedup(emb.repartition(7), threshold=0.95,
+                                  n_cells=4).collect())
+    assert again == sorted((v, r["component"], r["keep"])
+                           for v, r in out.items())
+
+
+def test_semantic_dedup_single_cell_matches_brute_force(spark):
+    """With n_cells=1 the within-cluster pair set IS the brute-force
+    pair set, so components must equal a union-find closure over
+    embedding_neardup pairs at the same threshold."""
+    import numpy as np
+
+    from casie_spark.operators.dedup import embedding_neardup, semantic_dedup
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             embedding_neardup(emb, threshold=0.3).collect()]
+    parent = {i: i for i in range(30)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(30)}
+
+    got = {r["vec_id"]: r["component"] for r in
+           semantic_dedup(emb, threshold=0.3, n_cells=1).collect()}
+    assert got == want
