@@ -90,7 +90,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     fragments (e.g. before the first marker) are dropped, and the
     marker is restored so records round-trip through
     :func:`parse_warc_records`."""
-    raw = (spark.read.option("lineSep", RECORD_MARKER).text(path)
+    # split on the bare version token (not marker+newline): real WARC
+    # frames lines with CRLF (ISO 28500) and locally-rendered records
+    # with LF — both then normalize to the LF form the parser reads
+    raw = (spark.read.option("lineSep", RECORD_MARKER.rstrip("\n"))
+           .text(path)
+           .select(F.regexp_replace("value", "\r\n", "\n").alias("value"))
+           .select(F.regexp_replace("value", "^\n", "").alias("value"))
            .filter(F.trim("value") != ""))
     recs = raw.select(
         F.concat(F.lit(RECORD_MARKER), F.col("value")).alias("record"))

@@ -62,3 +62,16 @@ def test_parse_missing_headers_are_null(spark):
     assert r["target_uri"] is None
     assert r["content_length"] is None
     assert r["payload"] == "software: test-crawler 1.0"
+
+
+def test_read_warc_crlf_archive(spark, tmp_path):
+    """A CRLF-framed archive (the on-disk form of real WARC/WET files,
+    ISO 28500) parses identically to the LF form."""
+    docs = _docs(spark)
+    recs = [r["record"] for r in format_warc(docs).collect()]
+    crlf = "".join(recs).replace("\n", "\r\n")
+    (tmp_path / "crawl.warc").write_text(crlf)
+    got = {r["target_uri"]: r["payload"]
+           for r in read_warc(spark, str(tmp_path)).collect()}
+    want = {r["url"]: r["text"] for r in docs.collect()}
+    assert got == want
