@@ -74,6 +74,10 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
         e.select(F.col("_s").alias("v"))
         .unionByName(e.select(F.col("_d").alias("v"))).distinct())
     n = verts.count()
+    if n == 0:
+        # empty graph: empty result with the right schema, not a
+        # divide-by-zero in the uniform initialization
+        return verts.withColumn("pr", F.lit(0.0))
     deg = materialize(e.groupBy("_s").agg(F.count("*").alias("_deg")))
     # out-degree per vertex (0 for dangling), fixed across iterations
     vdeg = materialize(

@@ -85,3 +85,11 @@ def test_pagerank_partition_invariant_and_rounded(spark):
          pagerank(_edges(spark, pairs, parts=13)).collect()}
     assert a == b
     assert all(round(pr, 6) == pr for _, pr in a)
+
+
+def test_pagerank_empty_graph(spark):
+    """No edges -> empty (v, pr) frame, not a divide-by-zero."""
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e)
+    assert out.columns == ["v", "pr"]
+    assert out.count() == 0
