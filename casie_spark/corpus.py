@@ -427,3 +427,59 @@ def temperature_weights(docs: DataFrame, key_col: str = "lang",
         w = F.round(w, round_to)
     weights = counts.select(key_col, w.alias("weight"))
     return docs.join(F.broadcast(weights), key_col)
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_shards: int = 16, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fixed-length training-sequence packing with document
+    boundaries — the step after :func:`pack_token_shards`: concatenate
+    each shard's token stream (md5 pseudo-shuffle order, same rule) and
+    cut it into back-to-back sequences of exactly ``seq_len`` tokens,
+    splitting documents across sequence boundaries where they fall
+    (the GPT-style "pack then chunk" recipe; the emitted doc-boundary
+    segments are what an attention-mask builder consumes).
+
+    Output: one row per (sequence, document segment) —
+    (shard, seq, doc_id, doc_offset, seg_len, seq_offset): tokens
+    [doc_offset, doc_offset+seg_len) of the doc occupy positions
+    [seq_offset, seq_offset+seg_len) of sequence ``seq`` in ``shard``.
+    Every sequence except each shard's last holds exactly seq_len
+    tokens; segment unions tile every doc exactly once (both gated in
+    test_corpus.py).
+
+    Scale shape: one per-shard prefix-sum window (the q41 exchange),
+    then a bounded explode — a doc spans at most n_tokens/seq_len + 1
+    sequences, so the fan-out is the token count divided by seq_len,
+    never quadratic.  All arithmetic is integer-exact; the DuckDB
+    oracle (q50) reproduces it bit-for-bit."""
+    from .functions.textstats import hash16
+
+    ids = F.col(id_col).cast("string")
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda x: x != F.lit(""))).cast("long")
+    base = docs.select(
+        id_col,
+        n_tok.alias("_nt"),
+        (hash16(ids) % n_shards).alias("shard"),
+        F.md5(ids).alias("_h"),
+    ).filter(F.col("_nt") > 0)
+    w = (Window.partitionBy("shard").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    start = (F.sum("_nt").over(w) - F.col("_nt")).alias("_p0")
+    spanned = base.select(id_col, "shard", "_nt", start).select(
+        id_col, "shard", "_nt", "_p0",
+        F.explode(F.sequence(
+            F.floor(F.col("_p0") / seq_len).cast("long"),
+            F.floor((F.col("_p0") + F.col("_nt") - 1) / seq_len)
+            .cast("long"))).alias("seq"),
+    )
+    seg_start = F.greatest(F.col("_p0"), F.col("seq") * seq_len)
+    seg_end = F.least(F.col("_p0") + F.col("_nt"),
+                      (F.col("seq") + 1) * seq_len)
+    return spanned.select(
+        "shard", "seq", id_col,
+        (seg_start - F.col("_p0")).alias("doc_offset"),
+        (seg_end - seg_start).alias("seg_len"),
+        (seg_start - F.col("seq") * seq_len).alias("seq_offset"),
+    )

@@ -1097,6 +1097,19 @@ def q48_warc_roundtrip(spark, sf_dir):
         (F.col("payload") == F.col("text")).alias("ok"))
 
 
+def q50_pack_sequences(spark, sf_dir):
+    """Fixed-length sequence packing with doc boundaries
+    (corpus.pack_sequences — the GPT-style pack-then-chunk recipe
+    after q41's sharding): per-shard md5-ordered token stream cut into
+    back-to-back 256-token sequences, one row per (sequence, doc
+    segment).  One prefix-sum window exchange + a bounded explode;
+    integer-exact end to end."""
+    from .corpus import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=256, n_shards=8)
+
+
 def q49_semantic_dedup(spark, sf_dir):
     """SemDeDup (dedup.semantic_dedup — Abbas et al. 2023): k-means
     cells bound the pairwise-cosine quadratic, duplicate groups close
@@ -1210,6 +1223,7 @@ QUERIES = {
     "q47_temperature_mix": q47_temperature_mix,
     "q48_warc_roundtrip": q48_warc_roundtrip,
     "q49_semantic_dedup": q49_semantic_dedup,
+    "q50_pack_sequences": q50_pack_sequences,
 }
 
 
@@ -1686,6 +1700,46 @@ def _token_shards_oracle() -> str:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_tokens) / 300.0) AS BIGINT) AS bin
         FROM base
+    """
+
+
+def _pack_sequences_oracle(seq_len: int = 256, n_shards: int = 8) -> str:
+    """q50: identical token count / hash16 shard / md5 order /
+    exclusive prefix sum, then the spanned-sequence range as a
+    generate-series unnest and the same greatest/least segment
+    arithmetic — integer-exact end to end."""
+    from .functions.textstats import hash16_sql
+
+    h16 = hash16_sql("CAST(doc_id AS VARCHAR)")
+    L = seq_len
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS nt,
+                   {h16} % {n_shards} AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, shard, nt,
+                   sum(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - nt AS p0
+            FROM base WHERE nt > 0
+        ), spanned AS (
+            SELECT doc_id, shard, nt, p0,
+                   unnest(range(CAST(floor(p0 / {L}.0) AS BIGINT),
+                                CAST(floor((p0 + nt - 1) / {L}.0)
+                                     AS BIGINT) + 1)) AS seq
+            FROM pos
+        )
+        SELECT shard, seq, doc_id,
+               greatest(p0, seq * {L}) - p0 AS doc_offset,
+               least(p0 + nt, (seq + 1) * {L})
+                 - greatest(p0, seq * {L}) AS seg_len,
+               greatest(p0, seq * {L}) - seq * {L} AS seq_offset
+        FROM spanned
     """
 
 
@@ -2595,6 +2649,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q46_pagerank": _pagerank_oracle(),
         "q47_temperature_mix": _temperature_mix_oracle(),
         "q48_warc_roundtrip": _warc_roundtrip_oracle(),
+        "q50_pack_sequences": _pack_sequences_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -326,3 +326,51 @@ def test_temperature_weights_properties(spark):
              temperature_weights(docs, "lang", alpha=1.0, round_to=None)
              .select("lang", "weight").distinct().collect()}
     assert ident["en"] == pytest.approx(1.0) and ident["sw"] == pytest.approx(1.0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: segments tile every doc exactly once, every
+    sequence except each shard's last holds exactly seq_len tokens
+    with gap-free seq_offsets, and the realization is deterministic."""
+    from casie_spark.corpus import pack_sequences
+
+    rows = [(i, "tok " * (3 + (i * 11) % 40)) for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L, K = 32, 4
+    got = pack_sequences(docs, seq_len=L, n_shards=K).collect()
+
+    # per-doc coverage: segments are contiguous from 0 and sum to n_tok
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc) == 150
+    for did, segs in per_doc.items():
+        segs.sort(key=lambda r: r["doc_offset"])
+        n_tok = 3 + (did * 11) % 40
+        assert segs[0]["doc_offset"] == 0
+        assert sum(s["seg_len"] for s in segs) == n_tok
+        for a, b in zip(segs, segs[1:]):
+            assert b["doc_offset"] == a["doc_offset"] + a["seg_len"]
+            assert b["seq"] == a["seq"] + 1      # split = consecutive seqs
+
+    # per-sequence fill: full L except the last seq of each shard
+    per_seq = {}
+    for r in got:
+        per_seq.setdefault((r["shard"], r["seq"]), []).append(r)
+    last = {}
+    for (sh, sq) in per_seq:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), segs in per_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        assert segs[0]["seq_offset"] == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b["seq_offset"] == a["seq_offset"] + a["seg_len"]
+        fill = sum(s["seg_len"] for s in segs)
+        if sq < last[sh]:
+            assert fill == L
+        else:
+            assert 0 < fill <= L
+
+    again = sorted(map(tuple, pack_sequences(
+        docs.repartition(9), seq_len=L, n_shards=K).collect()))
+    assert again == sorted(map(tuple, got))

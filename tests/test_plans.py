@@ -245,3 +245,12 @@ def test_warc_roundtrip_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("ReadSchema") == 1, plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """q50: exactly ONE exchange (the per-shard prefix-sum window) —
+    the explode fans out AFTER the window, never a second shuffle, and
+    no global sort."""
+    plan = _plan(QUERIES["q50_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "windowspecdefinition(shard" in plan, plan
