@@ -37,7 +37,8 @@ EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist",
          "q39_corpus_hygiene", "q40_line_dedup", "q41_token_shards",
          "q42_dsir_weights", "q43_upsample_epochs", "q44_c4_line_clean",
          "q45_khop_neighbors", "q46_pagerank", "q47_temperature_mix",
-         "q48_warc_roundtrip", "q49_semantic_dedup", "q50_pack_sequences"]
+         "q48_warc_roundtrip", "q49_semantic_dedup", "q50_pack_sequences",
+         "q51_robots_gate"]
 
 
 def main() -> None:

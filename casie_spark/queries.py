@@ -1097,6 +1097,51 @@ def q48_warc_roundtrip(spark, sf_dir):
         (F.col("payload") == F.col("text")).alias("ok"))
 
 
+# q51 robots template: exercises comments, a non-star section (must be
+# ignored), consecutive UA lines sharing a record, an empty Disallow,
+# longest-match Allow-over-Disallow, and a hash-conditional extra rule
+_Q51_ROBOTS = ("# crawler policy\n"
+               "User-agent: badbot\n"
+               "Disallow: /\n"
+               "\n"
+               "User-agent: otherbot\n"
+               "User-agent: *\n"
+               "Disallow: /private\n"
+               "Allow: /private/ok\n"
+               "Disallow:")
+
+
+def q51_robots_gate(spark, sf_dir):
+    """robots.txt crawl gate (functions.robots.apply_robots): per-host
+    robots bodies parsed into User-agent:* rules (one posexplode + one
+    per-host window), urls matched by longest path prefix with
+    Allow-wins ties (Google REP), unknown hosts default allowed.
+    Hosts/paths/robots are synthesized deterministically; hosts with
+    even hash16 carry an extra '/tmp' Disallow so the rule set is
+    host-dependent."""
+    from .functions.robots import apply_robots
+    from .functions.textstats import hash16
+
+    d = _load(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    ids = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (F.when(m == 0, F.concat(F.lit("/doc/"), ids))
+            .when(m == 1, F.concat(F.lit("/private/doc/"), ids))
+            .when(m == 2, F.concat(F.lit("/private/ok/"), ids))
+            .when(m == 3, F.concat(F.lit("/tmp/"), ids))
+            .otherwise(F.lit("")))
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    robots = (d.select(host.alias("host")).distinct()
+              .withColumn("robots_txt", F.concat(
+                  F.lit(_Q51_ROBOTS),
+                  F.when(hash16(F.col("host")) % 2 == 0,
+                         F.lit("\nDisallow: /tmp")).otherwise(F.lit("")))))
+    return (apply_robots(urls, robots)
+            .select("doc_id", "url", "crawl_allowed"))
+
+
 def q50_pack_sequences(spark, sf_dir):
     """Fixed-length sequence packing with doc boundaries
     (corpus.pack_sequences — the GPT-style pack-then-chunk recipe
@@ -1224,6 +1269,7 @@ QUERIES = {
     "q48_warc_roundtrip": q48_warc_roundtrip,
     "q49_semantic_dedup": q49_semantic_dedup,
     "q50_pack_sequences": q50_pack_sequences,
+    "q51_robots_gate": q51_robots_gate,
 }
 
 
@@ -1700,6 +1746,97 @@ def _token_shards_oracle() -> str:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_tokens) / 300.0) AS BIGINT) AS bin
         FROM base
+    """
+
+
+def _robots_gate_oracle() -> str:
+    """q51: identical host/path/robots synthesis, then the same parse —
+    comment strip, section running-sum over a per-host window,
+    User-agent:* record selection, longest-prefix match with
+    allow-wins ties via a (length, allow) arg-max — and
+    coalesce(best_allow, true) as the default-allow rule."""
+    from .functions.textstats import hash16_sql
+
+    body = _Q51_ROBOTS.replace("\n", "' || chr(10) || '")
+    h16 = hash16_sql("host")
+    return f"""
+        WITH hosts AS (
+            SELECT DISTINCT source || '.example.org' AS host
+            FROM documents
+        ), robots AS (
+            SELECT host,
+                   '{body}'
+                   || CASE WHEN {h16} % 2 = 0
+                           THEN chr(10) || 'Disallow: /tmp'
+                           ELSE '' END AS robots_txt
+            FROM hosts
+        ), lines AS (
+            SELECT host,
+                   generate_subscripts(string_split(robots_txt, chr(10)), 1)
+                   AS pos,
+                   trim(regexp_replace(
+                       unnest(string_split(robots_txt, chr(10))),
+                       '#.*$', '')) AS ln
+            FROM robots
+        ), marked AS (
+            SELECT host, pos, ln,
+                   trim(regexp_replace(ln, '^[A-Za-z-]+\\s*:', '')) AS val,
+                   CASE WHEN lower(ln) LIKE 'user-agent%'
+                        THEN 1 ELSE 0 END AS is_ua,
+                   coalesce(lag(CASE WHEN lower(ln) LIKE 'user-agent%'
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY host ORDER BY pos), 0)
+                   AS prev_ua
+            FROM lines
+        ), tagged AS (
+            SELECT host, pos, ln, val,
+                   sum(CASE WHEN is_ua = 1 AND prev_ua = 0
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sec
+            FROM marked
+        ), star AS (
+            SELECT DISTINCT host, sec FROM tagged
+            WHERE lower(ln) LIKE 'user-agent%' AND val = '*'
+        ), rules AS (
+            SELECT t.host, t.val AS rule_path,
+                   lower(t.ln) LIKE 'allow:%' AS allow
+            FROM tagged t JOIN star USING (host, sec)
+            WHERE regexp_matches(lower(t.ln), '^(allow|disallow):')
+              AND t.val <> ''
+        ), urls AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.org' ||
+                   CASE doc_id % 5
+                        WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                        WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                        WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, url,
+                   regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                        THEN '/' ELSE
+                        regexp_replace(url, '^[a-z]+://[^/]*', '') END
+                   AS path
+            FROM urls
+        ), verdict AS (
+            SELECT p.doc_id, p.url,
+                   arg_max(r.allow,
+                           length(r.rule_path) * 2
+                           + CASE WHEN r.allow THEN 1 ELSE 0 END)
+                   FILTER (r.rule_path IS NOT NULL
+                           AND starts_with(p.path, r.rule_path))
+                   AS best_allow
+            FROM parts p LEFT JOIN rules r ON p.host = r.host
+            GROUP BY p.doc_id, p.url
+        )
+        SELECT doc_id, url,
+               coalesce(best_allow, TRUE) AS crawl_allowed
+        FROM verdict
     """
 
 
@@ -2650,6 +2787,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q47_temperature_mix": _temperature_mix_oracle(),
         "q48_warc_roundtrip": _warc_roundtrip_oracle(),
         "q50_pack_sequences": _pack_sequences_oracle(),
+        "q51_robots_gate": _robots_gate_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
