@@ -64,3 +64,34 @@ def with_extracted_columns(df, raw_col: str = "html_str"):
         .withColumn("pubdate", parse_pubdate(extract_pubdate_raw(raw)))
         .withColumn("text", extract_text(raw))
     )
+
+
+def html_to_text(html: Column) -> Column:
+    """Real-HTML boilerplate stripping — the crawl-chain step between
+    WARC ingest (sources/warc.py) and the hygiene pipeline: drop
+    script/style blocks and comments, turn block-element boundaries
+    into line breaks, strip remaining tags, decode the common
+    entities, and normalize whitespace to trimmed non-empty lines.
+    A deterministic regexp chain (RE2/Java-shared syntax, same rule as
+    redact/urlnorm) — NOT a DOM parser: no recovery from pathological
+    markup, which is the standard trade a crawl pipeline makes for a
+    JVM-side, codegen-friendly extractor (trafilatura-class parsing
+    would be a per-row Python dependency this container doesn't ship).
+    Every step mirrors 1:1 into the DuckDB oracle (q52)."""
+    # no backreferences: DuckDB's RE2 twin doesn't support them
+    t = F.regexp_replace(
+        html, r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines BEFORE tags are stripped
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>",
+        "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        t = F.regexp_replace(t, ent, rep)
+    # collapse intra-line whitespace, trim lines, drop empty lines
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.regexp_replace(t, r"^\n|\n$", "")

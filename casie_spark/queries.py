@@ -1142,6 +1142,48 @@ def q51_robots_gate(spark, sf_dir):
             .select("doc_id", "url", "crawl_allowed"))
 
 
+_Q52_CHUNK = 15
+
+
+def q52_html_extract(spark, sf_dir):
+    """HTML -> text extraction (functions.text.html_to_text — the
+    crawl-chain step between WARC ingest and the hygiene gates):
+    script/style/comment removal, block-boundary line breaks, tag
+    stripping, entity decoding, whitespace normalization, as a pure
+    regexp chain (RE2/Java-shared).  Each doc's text is wrapped into a
+    deterministic HTML page (head with script+style, h1 title,
+    15-token <p> blocks, a comment, &amp;/&nbsp; entities) and the
+    extraction is md5-verified against the identical DuckDB chain."""
+    from .functions.text import html_to_text
+
+    d = _load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"),
+                  lambda x: x != F.lit(""))
+    nchunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(_Q52_CHUNK)).cast("int"), F.lit(1))
+    paras = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(ws, i * _Q52_CHUNK + 1, _Q52_CHUNK),
+                             " "),
+                F.lit("</p>"))))
+    html = F.concat(
+        F.lit("<html><head><title>doc</title><script>var x=1;</script>"
+              "<style>.c{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"), paras,
+        F.lit("<!-- footer --><div>tags &amp; entities&nbsp;here</div>"
+              "</body></html>"))
+    out = d.select("doc_id", html_to_text(html).alias("text"))
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.size(F.split(F.col("text"), "\n", -1))).alias("n_lines"))
+
+
 def q50_pack_sequences(spark, sf_dir):
     """Fixed-length sequence packing with doc boundaries
     (corpus.pack_sequences — the GPT-style pack-then-chunk recipe
@@ -1270,6 +1312,7 @@ QUERIES = {
     "q49_semantic_dedup": q49_semantic_dedup,
     "q50_pack_sequences": q50_pack_sequences,
     "q51_robots_gate": q51_robots_gate,
+    "q52_html_extract": q52_html_extract,
 }
 
 
@@ -1746,6 +1789,67 @@ def _token_shards_oracle() -> str:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_tokens) / 300.0) AS BIGINT) AS bin
         FROM base
+    """
+
+
+def _html_extract_oracle() -> str:
+    """q52: identical page synthesis and the identical regexp chain —
+    RE2 runs the same patterns Java does (no backreferences used), so
+    the extracted text is byte-equal."""
+    c = _Q52_CHUNK
+    return r"""
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), page AS (
+            SELECT doc_id,
+                   '<html><head><title>doc</title><script>var x=1;</script>'
+                   || '<style>.c{color:red}</style></head><body><h1>Doc '
+                   || CAST(doc_id AS VARCHAR) || '</h1>'
+                   || array_to_string(list_transform(
+                          range(0, greatest(CAST(ceil(len(ws) / """ + f"{c}.0" + r""") AS INT), 1)),
+                          i -> '<p>' || array_to_string(
+                                   ws[(i*""" + str(c) + r"""+1):(i*""" + str(c) + r"""+""" + str(c) + r""")], ' ')
+                               || '</p>'), '')
+                   || '<!-- footer --><div>tags &amp; entities&nbsp;here</div>'
+                   || '</body></html>' AS html
+            FROM base
+        ), x AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       html,
+                       '(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>',
+                       ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                       '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>',
+                       chr(10), 'g'),
+                       '(?s)<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' ', 'g'),
+                       '&amp;', '&', 'g'),
+                       '&lt;', '<', 'g'),
+                       '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'),
+                       '&#39;', '''', 'g'),
+                       '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+                       ' ?' || chr(10) || ' ?', chr(10), 'g'),
+                       chr(10) || '+', chr(10), 'g') AS t
+            FROM page
+        ), fin AS (
+            SELECT doc_id,
+                   regexp_replace(t, '^' || chr(10) || '|' || chr(10) || '$',
+                                  '', 'g') AS text
+            FROM x
+        )
+        SELECT doc_id, md5(text) AS text_md5,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, chr(10))) AS INT) AS n_lines
+        FROM fin
     """
 
 
@@ -2788,6 +2892,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q48_warc_roundtrip": _warc_roundtrip_oracle(),
         "q50_pack_sequences": _pack_sequences_oracle(),
         "q51_robots_gate": _robots_gate_oracle(),
+        "q52_html_extract": _html_extract_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

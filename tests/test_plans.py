@@ -254,3 +254,11 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     plan = _plan(QUERIES["q50_pack_sequences"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_html_extract_map_only(spark, sf_dir):
+    """q52: the HTML->text regexp chain is map-only — zero exchanges,
+    no Python eval, one scan."""
+    plan = _plan(QUERIES["q52_html_extract"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

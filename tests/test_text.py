@@ -55,3 +55,34 @@ def test_title_and_date(spark):
     ).first()
     assert r["title"] == "Big breach"
     assert str(r["d"]) == "2018-11-09"
+
+
+def test_html_to_text_rules(spark):
+    """Every extraction rule on planted markup: script/style/comment
+    removal, block boundaries -> lines, inline tags -> spaces, entity
+    decoding, whitespace normalization."""
+    from pyspark.sql import functions as F
+
+    from casie_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><script>var x = '<p>not text</p>';</script>"
+        "<style>.a{color:red}</style></head>\r\n"
+        "<body><h1>Big   Title</h1>"
+        "<p>first <b>bold</b> paragraph</p>"
+        "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "<!-- hidden comment --><div>last line<br>break</div></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+    assert got.split("\n") == [
+        "Big Title",
+        "first bold paragraph",
+        'A & B <tag> "q" \'s\' end',
+        "last line",
+        "break",
+    ]
+    # empty / tags-only input -> empty string
+    empty = spark.createDataFrame([("<p></p><div>  </div>",)], "html string")
+    assert empty.select(html_to_text(F.col("html")).alias("t")
+                        ).first()["t"] == ""
