@@ -1211,6 +1211,48 @@ def q49_semantic_dedup(spark, sf_dir):
                           threshold=0.4, n_cells=16)
 
 
+# q53 query set: fixed multi-term queries over the corpus vocabulary;
+# the same literals render into the oracle's VALUES list, so both
+# engines score the identical term sets
+_Q53_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join merge"),
+    (2, "window sort order"),
+    (3, "spark table scan batch"),
+    (4, "vector column stream"),
+    (5, "customer filter query"),
+]
+
+
+def q53_bm25_topk(spark, sf_dir):
+    """Inverted-index BM25 top-k lexical retrieval
+    (operators/retrieval.py — the lexical twin of the q14/q21/q28
+    embedding searches): postings built with one (term, doc)-keyed
+    shuffle, corpus stats (N, avgdl) and document frequencies derived
+    from the postings frame, query terms broadcast onto the posting
+    lists, per-query top-10 by rounded BM25 with doc_id tie-break.
+    All JVM expressions; the oracle rebuilds the identical index and
+    scoring in DuckDB CTEs."""
+    from .operators.retrieval import bm25_topk
+
+    d = _load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_Q53_QUERIES, "query_id int, qtext string")
+    return bm25_topk(d, queries, k=10)
+
+
+def q54_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py — Sennrich
+    et al. 2016): corpus -> (word, count) vocabulary in one
+    token-scale shuffle, then 30 merge rounds of global pair-count agg
+    + 1-row argmax + JVM regexp merge with per-round truncate
+    barriers.  Rows-only by contract (the merge sequence is an
+    iterative argmax, not SQL-expressible — the q25–q28 precedent);
+    its own gate is the pure-Python sequential-BPE differential +
+    hypothesis properties in tests/test_bpe.py."""
+    from .operators.bpe import learn_bpe
+
+    return learn_bpe(_load(spark, sf_dir, "documents"), n_merges=30)
+
+
 def _q45_edges(d):
     """Deterministic KG-shaped edge synthesis (the corpus has no graph
     structure): vertices are word bigrams, edges connect consecutive
@@ -1313,6 +1355,8 @@ QUERIES = {
     "q50_pack_sequences": q50_pack_sequences,
     "q51_robots_gate": q51_robots_gate,
     "q52_html_extract": q52_html_extract,
+    "q53_bm25_topk": q53_bm25_topk,
+    "q54_bpe_merges": q54_bpe_merges,
 }
 
 
@@ -1650,6 +1694,56 @@ def _fingerprints_oracle() -> str:
         )
         SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
         FROM fps GROUP BY doc_id
+    """
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """q53: identical tokenization, postings, Lucene-idf BM25 and
+    round-before-rank contract in DuckDB CTEs.  Query terms render
+    from the same _Q53_QUERIES literals the Spark side reads."""
+    qvals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, qtext in _Q53_QUERIES
+        for term in dict.fromkeys(qtext.lower().split())
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ), postings AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM toks GROUP BY term, doc_id
+        ), doclen AS (
+            SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM postings GROUP BY term
+        ), qterms AS (
+            SELECT * FROM (VALUES {qvals}) AS q(query_id, term)
+        ), scored AS (
+            SELECT q.query_id, p.doc_id,
+                   round(sum(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * ({k1} + 1.0)
+                       / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))
+                   ), 4) AS score
+            FROM postings p
+            JOIN qterms q USING (term)
+            JOIN dfreq d USING (term)
+            JOIN doclen l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY q.query_id, p.doc_id
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored) t
+        WHERE rank <= {k}
     """
 
 
@@ -2893,6 +2987,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q50_pack_sequences": _pack_sequences_oracle(),
         "q51_robots_gate": _robots_gate_oracle(),
         "q52_html_extract": _html_extract_oracle(),
+        "q53_bm25_topk": _bm25_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
