@@ -14,6 +14,13 @@ Scale shapes:
   it), one distinct, one anti-join against the visited set.  The
   visited/frontier frames are truncate()d every hop (iterative-loop
   barrier policy — each hop's plan embeds the previous one otherwise).
+- ``triangle_counts`` enumerates each triangle once via the
+  degree-ordered orientation (Suri & Vassilvitskii 2011's MR trick):
+  edges point from the (degree, id)-smaller endpoint to the larger,
+  so every wedge is generated at its lowest-degree apex and the
+  out-degree of any vertex is O(sqrt(m)) — the high-degree-hub wedge
+  explosion that kills the naive id-ordered join on power-law graphs
+  never materializes.  Two equi-joins total, both on vertex keys.
 - ``pagerank`` is the classic power iteration as join+groupBy: ranks
   live as an (v, pr) frame repartitioned once on v; each iteration
   joins edge contributions and sums per dst — two data-scale
@@ -55,6 +62,53 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
             break
         visited = truncate(visited.unionByName(frontier))
     return visited
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected
+    simple graph induced by ``edges`` (direction and duplicates
+    collapse, self-loops drop).  Returns (v, n_tri) for every vertex
+    in at least one triangle.
+
+    Each triangle is enumerated exactly once: canonical undirected
+    edges re-orient from the (degree, id)-smaller endpoint to the
+    larger, wedges form at the smallest apex (out-neighbors pairwise,
+    kept in orientation order), and a final equi-join against the
+    oriented edge set closes them.  The triangle SET is invariant to
+    the orientation, so the DuckDB oracle may use the naive id
+    ordering — only the join sizes differ.
+    """
+    und = materialize(
+        edges.select(F.least(src_col, dst_col).alias("a"),
+                     F.greatest(src_col, dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    ranked = (und.join(deg.withColumnRenamed("v", "a")
+                       .withColumnRenamed("deg", "deg_a"), "a")
+              .join(deg.withColumnRenamed("v", "b")
+                    .withColumnRenamed("deg", "deg_b"), "b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = materialize(ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_w")))
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"),
+                         F.col("deg_w").alias("d1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"),
+                         F.col("deg_w").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("w").alias("v2")),
+        ["v1", "v2"])
+    return (tri.select(F.explode(F.array("u", "v1", "v2")).alias("v"))
+            .groupBy("v").agg(F.count("*").alias("n_tri")))
 
 
 def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,

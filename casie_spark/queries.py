@@ -1302,6 +1302,19 @@ def q46_pagerank(spark, sf_dir):
     return pagerank(e, iters=5).select("v", "pr")
 
 
+def q55_triangle_counts(spark, sf_dir):
+    """Per-vertex triangle counts over the q45 co-occurrence graph
+    (graph.triangle_counts — degree-ordered orientation, each triangle
+    enumerated once; the wedge join is bounded O(sqrt(m)) per vertex
+    so power-law hubs cannot explode it).  The oracle enumerates the
+    identical triangle set with the naive id ordering — the set is
+    orientation-invariant, only the intermediate join sizes differ."""
+    from .operators.graph import triangle_counts
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    return triangle_counts(e)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1357,6 +1370,7 @@ QUERIES = {
     "q52_html_extract": q52_html_extract,
     "q53_bm25_topk": q53_bm25_topk,
     "q54_bpe_merges": q54_bpe_merges,
+    "q55_triangle_counts": q55_triangle_counts,
 }
 
 
@@ -2248,6 +2262,28 @@ def _khop_oracle(k: int = 3) -> str:
     return "WITH " + ", ".join(ctes) + f" {union}"
 
 
+def _triangle_oracle() -> str:
+    """q55: identical edge synthesis; naive id-ordered triangle
+    enumeration (x < y < z by construction of the three joins) — the
+    triangle set is orientation-invariant, so this matches the
+    operator's degree-ordered plan row-for-row after the per-vertex
+    explode."""
+    return ("WITH " + _GRAPH_EDGES_CTE.strip() + """
+        , und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT v, count(*) AS n_tri
+        FROM (SELECT unnest([x, y, z]) AS v FROM tri) t
+        GROUP BY v
+    """)
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """q46: identical synthesis, then the power iteration unrolled as
     one (dangling-mass, contribution, rank) CTE triple per iteration —
@@ -2988,6 +3024,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q51_robots_gate": _robots_gate_oracle(),
         "q52_html_extract": _html_extract_oracle(),
         "q53_bm25_topk": _bm25_oracle(),
+        "q55_triangle_counts": _triangle_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
