@@ -111,6 +111,49 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
             .groupBy("v").agg(F.count("*").alias("n_tri")))
 
 
+def negative_samples(edges: DataFrame, n_neg: int = 3,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Filtered tail-corruption negatives for link-prediction training
+    (the corrupted-triple recipe of Bordes et al. 2013): for each
+    positive edge and sample slot ``i`` in [0, n_neg), replace the
+    tail with the entity whose dense index is
+    ``hash16(src|dst|i) % |E|``, then drop candidates that collide
+    with the true tail or with ANY positive edge (the "filtered"
+    setting — unfiltered negatives teach the model to score true
+    edges low).  Returns (src, dst, sample_id, neg_dst); fully
+    deterministic, so shards regenerate identically on resume.
+
+    Scale shape: the entity index is one vocabulary-scale sort
+    (row_number over id — entities, not edges); candidate generation
+    is a bounded explode (n_neg per edge); the filter is a broadcast-
+    or shuffle-hash anti-join on (src, neg) against the positive set.
+    No driver state, no RNG — the hash IS the sampler.
+    """
+    from ..functions.textstats import hash16
+    from pyspark.sql import Window
+
+    pos = materialize(edges.select(F.col(src_col).alias("src"),
+                                   F.col(dst_col).alias("dst")).distinct())
+    ents = materialize(
+        pos.select(F.col("src").alias("v"))
+        .unionByName(pos.select(F.col("dst").alias("v"))).distinct()
+        .withColumn("idx",
+                    F.row_number().over(Window.orderBy("v")) - 1))
+    n = ents.count()
+    cand = (pos.select(
+        "src", "dst",
+        F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("sample_id"))
+        .withColumn("idx", hash16(F.concat_ws(
+            "|", "src", "dst", F.col("sample_id").cast("string"))) % n))
+    out = (cand.join(ents, "idx")
+           .select("src", "dst", "sample_id", F.col("v").alias("neg_dst"))
+           .filter(F.col("neg_dst") != F.col("dst")))
+    return out.join(
+        pos.select("src", F.col("dst").alias("neg_dst")),
+        ["src", "neg_dst"], "left_anti").select(
+        "src", "dst", "sample_id", "neg_dst")
+
+
 def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              round_to: int | None = 6) -> DataFrame:

@@ -1315,6 +1315,19 @@ def q55_triangle_counts(spark, sf_dir):
     return triangle_counts(e)
 
 
+def q56_negative_samples(spark, sf_dir):
+    """Filtered tail-corruption negatives over the q45 graph
+    (graph.negative_samples — the Bordes et al. 2013 corrupted-triple
+    training-pair generator, hash-deterministic so shards regenerate
+    identically on resume): dense entity index, hash16-indexed tail
+    replacement, anti-join filter against the positive set.  The
+    oracle replays the identical index, hash and filter in DuckDB."""
+    from .operators.graph import negative_samples
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    return negative_samples(e, n_neg=3)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1371,6 +1384,7 @@ QUERIES = {
     "q53_bm25_topk": q53_bm25_topk,
     "q54_bpe_merges": q54_bpe_merges,
     "q55_triangle_counts": q55_triangle_counts,
+    "q56_negative_samples": q56_negative_samples,
 }
 
 
@@ -2284,6 +2298,32 @@ def _triangle_oracle() -> str:
     """)
 
 
+def _negative_samples_oracle(n_neg: int = 3) -> str:
+    """q56: identical edge synthesis, dense entity index, hash16 tail
+    pick, true-tail and positive-set filters."""
+    from .functions.textstats import hash16_sql
+
+    h = hash16_sql("c.src || '|' || c.dst || '|' || c.i::varchar")
+    slots = ", ".join(str(i) for i in range(n_neg))
+    return ("WITH " + _GRAPH_EDGES_CTE.strip() + f"""
+        , pos AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+        ents AS MATERIALIZED (
+            SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx
+            FROM (SELECT src AS v FROM pos UNION SELECT dst FROM pos) t
+        ), nents AS (SELECT count(*) AS n FROM ents),
+        cand AS (
+            SELECT c.src, c.dst, c.i AS sample_id, {h} % nents.n AS idx
+            FROM (SELECT src, dst, unnest([{slots}]) AS i FROM pos) c,
+                 nents
+        )
+        SELECT c.src, c.dst, c.sample_id, e.v AS neg_dst
+        FROM cand c JOIN ents e USING (idx)
+        WHERE e.v <> c.dst
+          AND NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.src = c.src AND p.dst = e.v)
+    """)
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """q46: identical synthesis, then the power iteration unrolled as
     one (dangling-mass, contribution, rank) CTE triple per iteration —
@@ -3025,6 +3065,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q52_html_extract": _html_extract_oracle(),
         "q53_bm25_topk": _bm25_oracle(),
         "q55_triangle_counts": _triangle_oracle(),
+        "q56_negative_samples": _negative_samples_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -148,3 +148,28 @@ def test_triangle_counts_known_shapes(spark):
     # triangle-free: star + path
     star = [("h", f"s{i}") for i in range(5)] + [("s0", "x"), ("x", "y")]
     assert triangle_counts(_edges(spark, star)).count() == 0
+
+
+def test_negative_samples_invariants(spark):
+    """Filtered-corruption invariants: no negative equals its true
+    tail, none collides with ANY positive edge, every neg_dst is a
+    known entity, <= n_neg per edge, deterministic and partition-
+    invariant."""
+    from casie_spark.operators.graph import negative_samples
+
+    pairs = [(f"v{i}", f"v{(i * 5 + 3) % 17}") for i in range(40)]
+    pos = {(s, d) for s, d in pairs if s != d} | {(s, d) for s, d in pairs}
+    ents = {v for p in pairs for v in p}
+    a = [tuple(r) for r in
+         negative_samples(_edges(spark, pairs), n_neg=3).collect()]
+    b = [tuple(r) for r in
+         negative_samples(_edges(spark, pairs, parts=7), n_neg=3).collect()]
+    assert sorted(a) == sorted(b) and a
+    per_edge = {}
+    for src, dst, sid, neg in a:
+        assert neg != dst
+        assert (src, neg) not in pos
+        assert neg in ents
+        assert 0 <= sid < 3
+        per_edge[(src, dst)] = per_edge.get((src, dst), 0) + 1
+    assert max(per_edge.values()) <= 3
