@@ -483,3 +483,59 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         (seg_end - seg_start).alias("seg_len"),
         (seg_start - F.col("seq") * seq_len).alias("seq_offset"),
     )
+
+
+def leakage_safe_split(docs: DataFrame, n: int = 3, n_hashes: int = 4,
+                       train_pct: int = 80, val_pct: int = 10,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Train/validation/test assignment at near-dup-CLUSTER
+    granularity: a doc-level hash split leaks whenever two near-
+    duplicate pages land on opposite sides of the train/eval fence
+    (the contamination mode q34's decontaminate measures after the
+    fact); splitting on the q36 connected component instead puts every
+    near-dup of a page on the SAME side by construction.
+
+    Candidate pairs are the LSH buckets themselves (unverified — for
+    split assignment over-merging is the conservative direction: more
+    docs travel together, never fewer), closed into components with
+    min-label propagation; singleton docs form their own component.
+    The split is hash16(component) % 100 against (train_pct,
+    val_pct) cut points — fully deterministic, so shards and resumes
+    regenerate the identical assignment, and the oracle (q57) replays
+    the closure with a recursive CTE.
+
+    Scale shape: inherits the q36 candidate machinery (per-band
+    bucket self-join with the skew cap, CC iterations barriered with
+    truncate); the final assignment is one left join of the corpus ids
+    against the (small) clustered-doc map plus pure column math —
+    document text is read only by the shingle pass.
+    """
+    from .functions.textstats import hash16
+    from .operators.canonicalize import connected_components
+    from .operators.dedup import (minhash_candidate_pairs,
+                                  minhash_signature, word_shingles,
+                                  words_with_pos)
+    from .util import materialize
+
+    sig = minhash_signature(
+        word_shingles(words_with_pos(docs, text_col, id_col), n, id_col),
+        n_hashes, id_col)
+    pairs = materialize(minhash_candidate_pairs(sig, n_hashes, id_col))
+    verts = (pairs.select(F.col("doc_a").alias("doc"))
+             .union(pairs.select("doc_b")).distinct())
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        verts, id_col="doc", max_iter=40)
+    out = (docs.select(id_col)
+           .join(comp.withColumnRenamed("doc", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col))
+                   .alias("component")))
+    bucket = hash16(F.col("component").cast("string")) % 100
+    return out.select(
+        id_col, "component",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("validation"))
+        .otherwise(F.lit("test")).alias("split"))

@@ -1328,6 +1328,18 @@ def q56_negative_samples(spark, sf_dir):
     return negative_samples(e, n_neg=3)
 
 
+def q57_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment
+    (corpus.leakage_safe_split): split at near-dup-COMPONENT
+    granularity — every near-duplicate of a page lands on the same
+    side of the train/eval fence by construction, closing the
+    contamination mode q34 measures after the fact.  The oracle
+    replays the q36 recursive-CTE closure + the hash16 bucket rule."""
+    from .corpus import leakage_safe_split
+
+    return leakage_safe_split(_load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1385,6 +1397,7 @@ QUERIES = {
     "q54_bpe_merges": q54_bpe_merges,
     "q55_triangle_counts": q55_triangle_counts,
     "q56_negative_samples": q56_negative_samples,
+    "q57_leakage_split": q57_leakage_split,
 }
 
 
@@ -1775,12 +1788,11 @@ def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
-def _neardup_clusters_oracle() -> str:
-    """q36: the q13 signature/pair CTEs (identical shingle, seeded-md5
-    min and bucket-cap semantics) closed with a recursive CTE —
-    component = min doc id reachable in the candidate-pair graph,
-    matching connected_components' min-label propagation fixpoint."""
-    return """
+# shared by q36 and q57: the q13 signature/pair CTEs (identical
+# shingle, seeded-md5 min and bucket-cap semantics) closed with a
+# recursive CTE — component = min doc id reachable in the candidate-
+# pair graph, matching connected_components' min-label fixpoint
+_NEARDUP_CC_CTES = """
         WITH RECURSIVE words AS (
             SELECT doc_id, w, pos FROM (
                 SELECT doc_id,
@@ -1825,11 +1837,38 @@ def _neardup_clusters_oracle() -> str:
         ), comp AS (
             SELECT node AS doc_id, min(lbl) AS component
             FROM reach GROUP BY node
-        )
+        )"""
+
+
+def _neardup_clusters_oracle() -> str:
+    """q36: see _NEARDUP_CC_CTES."""
+    return _NEARDUP_CC_CTES + """
         SELECT doc_id, component,
                CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
                    AS cluster_size
         FROM comp
+    """
+
+
+def _leakage_split_oracle(train_pct: int = 80, val_pct: int = 10) -> str:
+    """q57: the q36 closure left-joined onto the full corpus
+    (singletons become their own component) + the identical
+    hash16-bucket split rule."""
+    from .functions.textstats import hash16_sql
+
+    h = hash16_sql("component::varchar")
+    return _NEARDUP_CC_CTES + f"""
+        , assigned AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, component,
+               CASE WHEN {h} % 100 < {train_pct} THEN 'train'
+                    WHEN {h} % 100 < {train_pct + val_pct}
+                        THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM assigned
     """
 
 
@@ -3066,6 +3105,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q53_bm25_topk": _bm25_oracle(),
         "q55_triangle_counts": _triangle_oracle(),
         "q56_negative_samples": _negative_samples_oracle(),
+        "q57_leakage_split": _leakage_split_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

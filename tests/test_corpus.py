@@ -374,3 +374,37 @@ def test_pack_sequences_invariants(spark):
     again = sorted(map(tuple, pack_sequences(
         docs.repartition(9), seq_len=L, n_shards=K).collect()))
     assert again == sorted(map(tuple, got))
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Near-duplicate pages NEVER straddle the split fence; every doc
+    gets exactly one assignment; deterministic + partition-invariant."""
+    from casie_spark.corpus import leakage_safe_split
+    from casie_spark.operators.dedup import (minhash_candidate_pairs,
+                                             minhash_signature,
+                                             word_shingles,
+                                             words_with_pos)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, base + f" tail{i % 2}"))  # near-dup family
+        else:
+            rows.append((i, f"unique doc {i} " + " ".join(
+                f"w{i}{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == 30 and len({r["doc_id"] for r in out}) == 30
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    # candidate pairs (the operator's own edge set) must agree on split
+    pairs = minhash_candidate_pairs(minhash_signature(
+        word_shingles(words_with_pos(docs), 3), 4), 4).collect()
+    assert pairs, "fixture must produce near-dup candidates"
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+        assert comp_of[p["doc_a"]] == comp_of[p["doc_b"]]
+    # determinism across partitioning
+    out2 = leakage_safe_split(docs.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
