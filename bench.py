@@ -38,7 +38,9 @@ EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist",
          "q42_dsir_weights", "q43_upsample_epochs", "q44_c4_line_clean",
          "q45_khop_neighbors", "q46_pagerank", "q47_temperature_mix",
          "q48_warc_roundtrip", "q49_semantic_dedup", "q50_pack_sequences",
-         "q51_robots_gate", "q52_html_extract"]
+         "q51_robots_gate", "q52_html_extract", "q53_bm25_topk",
+         "q54_bpe_merges", "q55_triangle_counts", "q56_negative_samples",
+         "q57_leakage_split"]
 
 
 def main() -> None:
