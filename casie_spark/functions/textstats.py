@@ -13,7 +13,7 @@ dedup/fingerprint oracle relies on this agreement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- tokenization ----------------------------------------------------------
@@ -286,3 +286,64 @@ def c4_clean_lines(docs: DataFrame, text_col: str = "text",
                     & ~F.col(text_col).contains("{"))
             .withColumn(text_col, F.array_join("_kept", sep))
             .drop("_kept"))
+
+
+# --- cardinality sketching --------------------------------------------------
+
+def kmv_cardinality(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text", k: int = 64,
+                    ngram: int = 1) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token cardinality sketch per
+    group (Bar-Yossef et al. 2002; the bottom-k theta-sketch family):
+    hash every distinct token uniformly into [0, 1), keep the k
+    smallest per group, estimate |distinct| = (k-1) / h_k.  Groups
+    with fewer than k distinct tokens report their exact count.
+
+    Returns (group, n_distinct_exact, kmv_estimate) — the exact
+    column is computed alongside so the estimator's error is
+    self-auditing (and both columns are deterministic, so the whole
+    frame is DuckDB-oracle-checkable — q58 — unlike an HLL register
+    set, whose binary encoding is engine-specific).
+
+    The hash is the md5 convention every cross-engine operator here
+    shares: the first 8 hex digits as a uniform 32-bit fraction.
+
+    Scale shape: ONE (group, term)-keyed distinct (Zipf head combines
+    map-side), then a vocabulary-scale per-group window for the k-th
+    smallest.  At 100 TB the window sorts each group's vocabulary —
+    ~10^8 rows per language bucket, shuffle-partitioned by group; for
+    a fleet of ad-hoc cardinalities where even that is too much, the
+    register form (``F.approx_count_distinct``, HLL++ — map-combinable
+    register-max, no vocabulary materialized) is the production knob;
+    tests/test_textstats gates KMV and HLL against the exact count on
+    the same frame so the swap is evidence-backed.
+    """
+    toks = F.filter(split_words(F.lower(F.col(text_col))),
+                    lambda x: x != F.lit(""))
+    if ngram > 1:
+        # space-joined n-grams straight off the token array — no
+        # window, no extra exchange; the sketched item just widens
+        items = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - ngram),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1)
+                       for j in range(ngram)]))
+        docs = docs.filter(F.size(toks) >= ngram)
+    else:
+        items = toks
+    terms = (docs.select(F.col(group_col).alias("grp"),
+                         F.explode(items).alias("term"))
+             .distinct())
+    h = (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("double")
+         / F.lit(float(1 << 32)))
+    w = Window.partitionBy("grp").orderBy("h", "term")
+    ranked = (terms.withColumn("h", h)
+              .withColumn("rk", F.row_number().over(w)))
+    agg = (ranked.groupBy("grp").agg(
+        F.count("*").alias("n_distinct_exact"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_hk")))
+    est = F.when(F.col("_hk").isNotNull(),
+                 F.round((k - 1) / F.col("_hk"), 2)) \
+           .otherwise(F.col("n_distinct_exact").cast("double"))
+    return agg.select(F.col("grp").alias(group_col),
+                      "n_distinct_exact", est.alias("kmv_estimate"))

@@ -1340,6 +1340,20 @@ def q57_leakage_split(spark, sf_dir):
     return leakage_safe_split(_load(spark, sf_dir, "documents"))
 
 
+def q58_kmv_cardinality(spark, sf_dir):
+    """Distinct-bigram cardinality per source via a KMV bottom-k
+    sketch (textstats.kmv_cardinality — Bar-Yossef et al. 2002), the
+    estimate reported NEXT TO the exact count so the error is
+    self-auditing; both columns deterministic, so the whole sketch is
+    hash-checked against DuckDB (unlike HLL register blobs).  The
+    production swap to approx_count_distinct (HLL++, map-combinable)
+    is gated in tests/test_textstats.py on the same frame."""
+    from .functions.textstats import kmv_cardinality
+
+    return kmv_cardinality(_load(spark, sf_dir, "documents"),
+                           k=64, ngram=2)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1398,6 +1412,7 @@ QUERIES = {
     "q55_triangle_counts": q55_triangle_counts,
     "q56_negative_samples": q56_negative_samples,
     "q57_leakage_split": q57_leakage_split,
+    "q58_kmv_cardinality": q58_kmv_cardinality,
 }
 
 
@@ -2363,6 +2378,50 @@ def _negative_samples_oracle(n_neg: int = 3) -> str:
     """)
 
 
+def _kmv_oracle(k: int = 64) -> str:
+    """q58: identical whitespace-bigram item set, md5-fraction hash,
+    k-th order statistic and (k-1)/h_k estimator."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id, source, w, pos FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> ''), 1) AS pos
+                FROM documents) z
+        ), grams AS (
+            SELECT source AS grp,
+                   w || ' ' || lead(w, 1) OVER win AS term,
+                   lead(w, 1) OVER win AS w1
+            FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), t AS (
+            SELECT DISTINCT grp, term FROM grams WHERE w1 IS NOT NULL
+        ), ranked AS (
+            SELECT grp, term,
+                   ('0x' || substring(md5(term), 1, 8))::bigint
+                       / 4294967296.0 AS h
+            FROM t
+        ), rk AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY h, term) AS rk
+            FROM ranked
+        ), agg AS (
+            SELECT grp AS source, count(*) AS n_distinct_exact,
+                   max(CASE WHEN rk = {k} THEN h END) AS hk
+            FROM rk GROUP BY grp
+        )
+        SELECT source, n_distinct_exact,
+               CASE WHEN hk IS NOT NULL THEN round({k - 1} / hk, 2)
+                    ELSE CAST(n_distinct_exact AS DOUBLE) END
+                   AS kmv_estimate
+        FROM agg
+    """
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """q46: identical synthesis, then the power iteration unrolled as
     one (dangling-mass, contribution, rank) CTE triple per iteration —
@@ -3106,6 +3165,7 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q55_triangle_counts": _triangle_oracle(),
         "q56_negative_samples": _negative_samples_oracle(),
         "q57_leakage_split": _leakage_split_oracle(),
+        "q58_kmv_cardinality": _kmv_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -157,3 +157,43 @@ def test_c4_clean_lines_planted_cases(spark):
     ]
     assert out[5]["n_lines_kept"] == 4
     assert out[5]["text"] == "\n".join([good] * 4)
+
+
+def test_kmv_cardinality_estimator_quality(spark):
+    """KMV and the production HLL knob (approx_count_distinct) both
+    land within their advertised error of the exact count on a
+    planted large-vocabulary corpus; small groups report exact;
+    partition-invariant."""
+    import pyspark.sql.functions as F
+
+    from casie_spark.functions.textstats import kmv_cardinality
+
+    # group A: 3000 distinct tokens; group B: 12 (< k -> exact path)
+    rows = [("A", " ".join(f"tok{i}" for i in range(d * 30, d * 30 + 30)))
+            for d in range(100)]
+    rows += [("B", "a b c d e f g h i j k l")] * 5
+    docs = spark.createDataFrame(rows, "source string, text string")
+
+    out = {r["source"]: r for r in
+           kmv_cardinality(docs, k=64, ngram=1).collect()}
+    assert out["A"]["n_distinct_exact"] == 3000
+    # KMV relative error ~ 1/sqrt(k-2) ~ 0.127; allow 3 sigma
+    assert abs(out["A"]["kmv_estimate"] - 3000) / 3000 < 0.4
+    assert out["B"]["n_distinct_exact"] == 12
+    assert out["B"]["kmv_estimate"] == 12.0  # exact path below k
+
+    # partition invariance (register/order-insensitive by construction)
+    out2 = {r["source"]: tuple(r) for r in
+            kmv_cardinality(docs.repartition(13), k=64, ngram=1).collect()}
+    assert out2 == {s: tuple(r) for s, r in out.items()}
+
+    # production HLL knob on the same frame, rsd 0.05 -> 3 sigma 15%
+    toks = F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                              lambda x: x != F.lit(""))).alias("term")
+    hll = {r["source"]: r["n"] for r in
+           docs.select("source", toks)
+           .groupBy("source")
+           .agg(F.approx_count_distinct("term", 0.05).alias("n"))
+           .collect()}
+    assert abs(hll["A"] - 3000) / 3000 < 0.15
+    assert abs(hll["B"] - 12) <= 2
