@@ -32,7 +32,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..util import materialize, truncate
@@ -111,6 +111,89 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
             .groupBy("v").agg(F.count("*").alias("n_tri")))
 
 
+def label_propagation(edges: DataFrame, iters: int = 4,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected simple graph: every vertex starts
+    as its own label; each iteration every vertex adopts the most
+    frequent label among its neighbors, ties broken by MIN label —
+    the deterministic variant (the async random-order original is
+    irreproducible across partitionings, which would break both the
+    oracle and resume).  Fixed ``iters`` iterations; isolated vertices
+    cannot occur (every vertex has an edge by construction of the
+    symmetrized frame).  Returns (v, community).
+
+    Scale shape: per iteration one join (labels onto the symmetrized
+    edge frame, vertex-keyed) + one (vertex, label) groupBy + one
+    per-vertex window argmax — all on the same vertex hashing; labels
+    truncate()d per iteration (iterative barrier policy).  The oracle
+    (q59) unrolls the iterations as CTE stages like q46's PageRank.
+    """
+    und = materialize(
+        edges.select(F.least(src_col, dst_col).alias("a"),
+                     F.greatest(src_col, dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    sym = materialize(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"),
+                                F.col("a").alias("v"))))
+    labels = truncate(
+        sym.select(F.col("u").alias("v")).distinct()
+        .withColumn("lbl", F.col("v")))
+    w = Window.partitionBy("v").orderBy(F.desc("n"), "lbl")
+    for _ in range(iters):
+        neigh = (sym.join(labels.select(F.col("v").alias("u"),
+                                        F.col("lbl")), "u")
+                 .groupBy("v", "lbl").agg(F.count("*").alias("n")))
+        labels = truncate(
+            neigh.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("v", "lbl"))
+    return labels.select("v", F.col("lbl").alias("community"))
+
+
+def adamic_adar(edges: DataFrame, k: int = 100, src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Adamic-Adar link-prediction scores (Adamic & Adar 2003): for
+    every non-adjacent vertex pair at distance 2, score =
+    sum over common neighbors z of 1/ln(deg(z)); returns the global
+    top-``k`` candidate edges (a, b, score, rank) — the classic
+    heuristic ranker the q56 negative samples train against.
+
+    Common neighbors only exist through wedges, so deg(z) >= 2 and
+    ln(deg) is never zero.  Scale shape: one wedge self-join on the
+    common neighbor (bounded by the same degree distribution as q55's
+    triangle join), per-pair sum, an anti-join against the edge set,
+    and a top-k that plans as TakeOrdered (never a full global sort).
+    Rounded to 4 before ranking with the (a, b) tie-break —
+    the cross-engine contract.
+    """
+    und = materialize(
+        edges.select(F.least(src_col, dst_col).alias("a"),
+                     F.greatest(src_col, dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    sym = (und.select(F.col("a").alias("z"), F.col("b").alias("x"))
+           .unionByName(und.select(F.col("b").alias("z"),
+                                   F.col("a").alias("x"))))
+    # degree-1 vertices cannot be common neighbors; drop them BEFORE
+    # the weight so ln(1)=0 never reaches the division (ANSI mode)
+    deg = (sym.groupBy("z").agg(F.count("*").alias("deg"))
+           .filter(F.col("deg") >= 2))
+    wz = sym.join(deg, "z").withColumn("w", 1.0 / F.log("deg"))
+    s1 = wz.select("z", F.col("x").alias("a"), "w")
+    s2 = wz.select("z", F.col("x").alias("b"))
+    scored = (s1.join(s2, "z").filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.round(F.sum("w"), 4).alias("score"))
+              .join(und, ["a", "b"], "left_anti"))
+    top = scored.orderBy(F.desc("score"), "a", "b").limit(k)
+    # rank assignment happens on the <= k surviving rows only: the
+    # top-k itself plans as TakeOrdered, never a global sort/window
+    w_rank = Window.orderBy(F.desc("score"), "a", "b")
+    return (top.withColumn("rank", F.row_number().over(w_rank))
+            .select("a", "b", "score", "rank"))
+
+
 def negative_samples(edges: DataFrame, n_neg: int = 3,
                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Filtered tail-corruption negatives for link-prediction training
@@ -130,7 +213,6 @@ def negative_samples(edges: DataFrame, n_neg: int = 3,
     No driver state, no RNG — the hash IS the sampler.
     """
     from ..functions.textstats import hash16
-    from pyspark.sql import Window
 
     pos = materialize(edges.select(F.col(src_col).alias("src"),
                                    F.col(dst_col).alias("dst")).distinct())

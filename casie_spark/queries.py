@@ -1354,6 +1354,32 @@ def q58_kmv_cardinality(spark, sf_dir):
                            k=64, ngram=2)
 
 
+def q59_label_propagation(spark, sf_dir):
+    """Community detection over the q45 graph
+    (graph.label_propagation — the deterministic synchronous LPA
+    variant: most-frequent neighbor label, min-label ties, fixed 4
+    iterations).  The oracle unrolls the iterations as CTE stages
+    (the q46 pattern); integer counts only, so no float contract is
+    needed."""
+    from .operators.graph import label_propagation
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    return label_propagation(e, iters=4)
+
+
+def q60_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the q45 graph
+    (graph.adamic_adar): top-100 non-adjacent distance-2 pairs by
+    sum(1/ln(deg(z))) over common neighbors — the heuristic ranker
+    the q56 negatives train against.  Rounded-then-ranked with (a, b)
+    tie-breaks; the oracle replays the wedge join, anti-join and
+    ranking."""
+    from .operators.graph import adamic_adar
+
+    e = _q45_edges(_load(spark, sf_dir, "documents"))
+    return adamic_adar(e, k=100)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1413,6 +1439,8 @@ QUERIES = {
     "q56_negative_samples": q56_negative_samples,
     "q57_leakage_split": q57_leakage_split,
     "q58_kmv_cardinality": q58_kmv_cardinality,
+    "q59_label_propagation": q59_label_propagation,
+    "q60_adamic_adar": q60_adamic_adar,
 }
 
 
@@ -2422,6 +2450,67 @@ def _kmv_oracle(k: int = 64) -> str:
     """
 
 
+def _label_propagation_oracle(iters: int = 4) -> str:
+    """q59: identical edge synthesis + the synchronous LPA iterations
+    unrolled as CTE stages, argmax by (count desc, label asc)."""
+    ctes = [_GRAPH_EDGES_CTE.strip(), """
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), sym AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und
+        ), l0 AS MATERIALIZED (
+            SELECT DISTINCT u AS v, u AS lbl FROM sym
+        )"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        l{i} AS MATERIALIZED (
+            SELECT v, lbl FROM (
+                SELECT s.v, l.lbl, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY s.v
+                           ORDER BY count(*) DESC, l.lbl) AS rk
+                FROM sym s JOIN l{i-1} l ON l.v = s.u
+                GROUP BY s.v, l.lbl) t
+            WHERE rk = 1
+        )""")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT v, lbl AS community FROM l{iters}")
+
+
+def _adamic_adar_oracle(k: int = 100) -> str:
+    """q60: identical wedge join, per-pair 1/ln(deg) sum, anti-join
+    vs the edge set and round-before-rank."""
+    return ("WITH " + _GRAPH_EDGES_CTE.strip() + f"""
+        , und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), sym AS MATERIALIZED (
+            SELECT a AS z, b AS x FROM und
+            UNION ALL SELECT b, a FROM und
+        ), deg AS (SELECT z, count(*) AS dg FROM sym
+                   GROUP BY z HAVING count(*) >= 2),
+        wz AS (SELECT s.z, s.x, 1.0 / ln(d.dg) AS w
+               FROM sym s JOIN deg d USING (z)),
+        scored AS (
+            SELECT s1.x AS a, s2.x AS b, round(sum(s1.w), 4) AS score
+            FROM wz s1 JOIN wz s2 ON s1.z = s2.z AND s1.x < s2.x
+            GROUP BY s1.x, s2.x
+        ), cand AS (
+            SELECT sc.a, sc.b, sc.score
+            FROM scored sc LEFT JOIN und
+              ON und.a = sc.a AND und.b = sc.b
+            WHERE und.a IS NULL
+        )
+        SELECT a, b, score, rank FROM (
+            SELECT a, b, score,
+                   row_number() OVER (ORDER BY score DESC, a, b) AS rank
+            FROM cand) t
+        WHERE rank <= {k}
+    """)
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """q46: identical synthesis, then the power iteration unrolled as
     one (dangling-mass, contribution, rank) CTE triple per iteration —
@@ -3166,6 +3255,8 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q56_negative_samples": _negative_samples_oracle(),
         "q57_leakage_split": _leakage_split_oracle(),
         "q58_kmv_cardinality": _kmv_oracle(),
+        "q59_label_propagation": _label_propagation_oracle(),
+        "q60_adamic_adar": _adamic_adar_oracle(),
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """
