@@ -262,3 +262,39 @@ def test_html_extract_map_only(spark, sf_dir):
     plan = _plan(QUERIES["q52_html_extract"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """q53: query terms / document frequencies / corpus stats all
+    broadcast onto the postings frame; no Python UDF anywhere; the
+    candidate path never re-sorts globally (top-k is a per-query
+    window)."""
+    plan = _plan(QUERIES["q53_bm25_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # 1-row stats joins as BNLJ
+
+
+def test_triangle_and_adamic_no_udf_no_cartesian(spark, sf_dir):
+    """q55/q60: wedge enumeration is equi-joins only — a cartesian in
+    either plan means the orientation/anti-join shape regressed."""
+    for name in ("q55_triangle_counts", "q60_adamic_adar"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_negative_samples_plan_shape(spark, sf_dir):
+    """q56: bounded explode + joins; the positive-set filter appears
+    as a real anti-join (LeftAnti), no Python UDF."""
+    plan = _plan(QUERIES["q56_negative_samples"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_single_distinct_exchange(spark, sf_dir):
+    """q58: the (group, item) distinct plus the per-group window are
+    the only hash exchanges — the sketch never shuffles doc bodies."""
+    plan = _plan(QUERIES["q58_kmv_cardinality"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BatchEvalPython" not in plan
