@@ -1380,6 +1380,29 @@ def q60_adamic_adar(spark, sf_dir):
     return adamic_adar(e, k=100)
 
 
+def q61_length_quantiles(spark, sf_dir):
+    """Per-language token-count quantile audit (corpus QA: sequence-
+    length budgeting for the q50 packer needs the length distribution,
+    not just q10's mean/max).  EXACT percentiles here (both engines
+    share the 1 + p*(n-1) interpolation rule), oracle-checked;
+    the scale knob is `approx_percentile` (GK sketch, map-combinable,
+    no per-group value buffer), gated against the exact answer in
+    tests/test_textstats.py on the same frame — the q58 pattern."""
+    d = _load(spark, sf_dir, "documents")
+    nt = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                         lambda x: x != F.lit("")))
+    pct = F.expr(
+        "percentile(nt, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return (d.select("lang", nt.alias("nt"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), pct.alias("p"))
+            .select("lang", "n_docs",
+                    F.round(F.col("p")[0], 4).alias("p25"),
+                    F.round(F.col("p")[1], 4).alias("p50"),
+                    F.round(F.col("p")[2], 4).alias("p75"),
+                    F.round(F.col("p")[3], 4).alias("p90")))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1441,6 +1464,7 @@ QUERIES = {
     "q58_kmv_cardinality": q58_kmv_cardinality,
     "q59_label_propagation": q59_label_propagation,
     "q60_adamic_adar": q60_adamic_adar,
+    "q61_length_quantiles": q61_length_quantiles,
 }
 
 
@@ -3257,6 +3281,19 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q58_kmv_cardinality": _kmv_oracle(),
         "q59_label_propagation": _label_propagation_oracle(),
         "q60_adamic_adar": _adamic_adar_oracle(),
+        "q61_length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(nt, 0.25), 4) AS p25,
+                   round(quantile_cont(nt, 0.50), 4) AS p50,
+                   round(quantile_cont(nt, 0.75), 4) AS p75,
+                   round(quantile_cont(nt, 0.90), 4) AS p90
+            FROM (SELECT lang,
+                         len(list_filter(
+                             regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS nt
+                  FROM documents) t
+            GROUP BY lang
+        """,
         "q30_source_quota": _source_quota_oracle(),
         "q32_pii_redaction": _pii_redaction_oracle(),
         "q31_repetition": """

@@ -197,3 +197,30 @@ def test_kmv_cardinality_estimator_quality(spark):
            .collect()}
     assert abs(hll["A"] - 3000) / 3000 < 0.15
     assert abs(hll["B"] - 12) <= 2
+
+
+def test_approx_percentile_gates_against_exact(spark):
+    """q61's scale knob: approx_percentile (GK sketch, accuracy 10000)
+    lands within its bound of the exact per-group percentiles on a
+    skewed planted distribution, and is partition-invariant."""
+    import pyspark.sql.functions as F
+
+    rows = [("en", i) for i in range(1, 2001)]          # uniform
+    rows += [("de", 2 ** (i % 12)) for i in range(999)]  # log-skewed
+    df = spark.createDataFrame(rows, "lang string, nt int")
+    exact = {r["lang"]: r["p"] for r in df.groupBy("lang").agg(
+        F.expr("percentile(nt, array(0.5D, 0.9D))").alias("p")).collect()}
+    approx = {r["lang"]: r["p"] for r in df.groupBy("lang").agg(
+        F.expr("approx_percentile(nt, array(0.5D, 0.9D), 10000)")
+        .alias("p")).collect()}
+    approx2 = {r["lang"]: r["p"] for r in df.repartition(9).groupBy(
+        "lang").agg(
+        F.expr("approx_percentile(nt, array(0.5D, 0.9D), 10000)")
+        .alias("p")).collect()}
+    assert approx == approx2
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            # GK guarantees rank error n/accuracy; with accuracy
+            # 10000 >= n the answer is rank-exact (a real data value
+            # at the requested rank, vs the interpolated exact)
+            assert abs(a - e) <= max(1.0, 0.01 * e), (lang, e, a)
