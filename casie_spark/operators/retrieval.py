@@ -80,7 +80,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(F.count("*").alias("n_docs"),
                        F.avg("dl").alias("avgdl"))
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     qterms = queries.select(
         "query_id",
@@ -88,6 +87,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             F.split(F.lower(F.col("qtext")), TOKEN_SPLIT_RE),
             lambda x: x != F.lit("")))).alias("term"),
     )
+    # document frequencies restricted to the query terms BEFORE the
+    # broadcast: the full vocabulary-scale df table does not broadcast
+    # at web scale, the <= |query terms| slice always does
+    dfreq = (postings.join(F.broadcast(qterms.select("term").distinct()),
+                           "term")
+             .groupBy("term").agg(F.count("*").alias("df")))
 
     cand = (postings.join(F.broadcast(qterms), "term")
             .join(F.broadcast(dfreq), "term")
