@@ -1403,6 +1403,30 @@ def q61_length_quantiles(spark, sf_dir):
                     F.round(F.col("p")[3], 4).alias("p90")))
 
 
+def q62_range_join(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): every 20th event
+    opens a 2-hour incident window on its user; ALL of the user's
+    events inside the window attach to it — resolved as a
+    (key, hour-bucket) EQUI-join + bounded interval explode + exact
+    containment filter, never the O(points x intervals-per-key)
+    inequality join the naive form plans (the as-of q07 lesson,
+    applied to full interval containment).  Integer epoch seconds end
+    to end; the oracle states the same join naively in DuckDB."""
+    from .operators.rangejoin import bucketed_interval_join
+
+    e = _load(spark, sf_dir, "events")
+    pts = e.select("event_id", "user_id",
+                   F.unix_timestamp("ts").alias("ts_s"))
+    iv = (pts.filter(F.col("event_id") % 20 == 0)
+          .select("user_id", F.col("event_id").alias("incident_id"),
+                  F.col("ts_s").alias("start_s"),
+                  (F.col("ts_s") + 7200).alias("end_s")))
+    j = bucketed_interval_join(pts, iv, bucket_secs=3600)
+    return j.select(
+        "event_id", "incident_id",
+        (F.col("ts_s") - F.col("start_s")).alias("secs_since"))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1465,6 +1489,7 @@ QUERIES = {
     "q59_label_propagation": q59_label_propagation,
     "q60_adamic_adar": q60_adamic_adar,
     "q61_length_quantiles": q61_length_quantiles,
+    "q62_range_join": q62_range_join,
 }
 
 
@@ -3281,6 +3306,17 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q58_kmv_cardinality": _kmv_oracle(),
         "q59_label_propagation": _label_propagation_oracle(),
         "q60_adamic_adar": _adamic_adar_oracle(),
+        "q62_range_join": """
+            SELECT e.event_id, i.incident_id,
+                   CAST(floor(epoch(e.ts)) - floor(epoch(i.ts))
+                        AS BIGINT) AS secs_since
+            FROM events e
+            JOIN (SELECT user_id, event_id AS incident_id, ts
+                  FROM events WHERE event_id % 20 = 0) i
+              ON e.user_id = i.user_id
+             AND floor(epoch(e.ts)) >= floor(epoch(i.ts))
+             AND floor(epoch(e.ts)) < floor(epoch(i.ts)) + 7200
+        """,
         "q61_length_quantiles": """
             SELECT lang, count(*) AS n_docs,
                    round(quantile_cont(nt, 0.25), 4) AS p25,
