@@ -1427,6 +1427,38 @@ def q62_range_join(spark, sf_dir):
         (F.col("ts_s") - F.col("start_s")).alias("secs_since"))
 
 
+def q63_crawl_delta(spark, sf_dir):
+    """Incremental crawl-snapshot delta — the step an Iceberg-backed
+    corpus runs between two crawl rounds to process ONLY what moved:
+    full-outer join of snapshot A and B on doc_id, content-hash
+    compare, one row per doc with status
+    added/removed/changed/unchanged.  Snapshot B is a deterministic
+    perturbation of A (every 7th doc dropped, every 5th surviving doc
+    re-extracted with a marker token, a shifted id range added), so
+    every branch is exercised; the oracle states the identical
+    full-outer + CASE in DuckDB.  Scale shape: one id-keyed full-outer
+    join; hashes computed per side BEFORE the join so text never
+    crosses the shuffle twice."""
+    d = _load(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("h_a"))
+    b_mod = (d.filter(F.col("doc_id") % 7 != 0)
+             .select("doc_id",
+                     F.md5(F.when(F.col("doc_id") % 5 == 0,
+                                  F.concat(F.col("text"),
+                                           F.lit(" refreshed")))
+                           .otherwise(F.col("text"))).alias("h_b")))
+    b_new = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     F.md5("text").alias("h_b")).filter(
+        F.col("doc_id") % 3 == 0)
+    b = b_mod.unionByName(b_new)
+    j = a.join(b, "doc_id", "full_outer")
+    status = (F.when(F.col("h_a").isNull(), F.lit("added"))
+              .when(F.col("h_b").isNull(), F.lit("removed"))
+              .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("doc_id", status.alias("status"))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1490,6 +1522,7 @@ QUERIES = {
     "q60_adamic_adar": q60_adamic_adar,
     "q61_length_quantiles": q61_length_quantiles,
     "q62_range_join": q62_range_join,
+    "q63_crawl_delta": q63_crawl_delta,
 }
 
 
@@ -3306,6 +3339,25 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q58_kmv_cardinality": _kmv_oracle(),
         "q59_label_propagation": _label_propagation_oracle(),
         "q60_adamic_adar": _adamic_adar_oracle(),
+        "q63_crawl_delta": """
+            WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN text || ' refreshed'
+                                ELSE text END) AS h_b
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b
+                FROM documents WHERE (doc_id + 1000000) % 3 = 0
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.h_a IS NULL THEN 'added'
+                        WHEN b.h_b IS NULL THEN 'removed'
+                        WHEN a.h_a = b.h_b THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
         "q62_range_join": """
             SELECT e.event_id, i.incident_id,
                    CAST(floor(epoch(e.ts)) - floor(epoch(i.ts))
