@@ -179,7 +179,10 @@ def adamic_adar(edges: DataFrame, k: int = 100, src_col: str = "src",
     # the weight so ln(1)=0 never reaches the division (ANSI mode)
     deg = (sym.groupBy("z").agg(F.count("*").alias("deg"))
            .filter(F.col("deg") >= 2))
-    wz = sym.join(deg, "z").withColumn("w", 1.0 / F.log("deg"))
+    # both wedge sides read this frame — barrier it so the sym/deg
+    # subtree plans once
+    wz = materialize(
+        sym.join(deg, "z").withColumn("w", 1.0 / F.log("deg")))
     s1 = wz.select("z", F.col("x").alias("a"), "w")
     s2 = wz.select("z", F.col("x").alias("b"))
     scored = (s1.join(s2, "z").filter(F.col("a") < F.col("b"))

@@ -76,7 +76,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     regime).  Scoring is a broadcast join of query terms onto the
     postings frame; only matching posting rows flow into the agg.
     """
-    postings = build_postings(docs)
+    from ..util import materialize
+
+    # three consumers (doclen, dfreq, candidate join) — without the
+    # barrier Spark re-runs the token-scale scan+explode+agg subtree
+    # once per consumer (no common-subplan reuse)
+    postings = materialize(build_postings(docs))
     doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(F.count("*").alias("n_docs"),
                        F.avg("dl").alias("avgdl"))
