@@ -539,3 +539,39 @@ def leakage_safe_split(docs: DataFrame, n: int = 3, n_hashes: int = 4,
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("validation"))
         .otherwise(F.lit("test")).alias("split"))
+
+
+def weighted_sample(docs: DataFrame, k: int = 100, weight=None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, the exponential-key / A-ES scheme):
+    each row draws u in (0, 1] from the md5 hash of its id and keys
+    itself by ln(u)/w; the k LARGEST keys are exactly a weighted
+    sample without replacement.  Complements the sampling family —
+    q30's quotas are per-group caps, q43's upsampling is
+    with-replacement epochs, q47's temperature reweights groups; this
+    is the "pick k docs, quality-proportional, no duplicates" op a
+    curation pass runs.
+
+    The hash IS the randomness (the q56 convention): resumes and
+    reruns regenerate the identical sample, and the DuckDB oracle
+    (q64) replays hash, key and ranking bit-for-bit.  Keys are
+    rounded (8) before ranking with an id tie-break — the cross-engine
+    float contract; the rounding is part of the operator's definition.
+
+    Scale shape: map-only key computation + a global top-k that plans
+    as TakeOrdered — no shuffle beyond the k-row collect tree.
+    ``weight`` must be a strictly positive column (default:
+    ``n_chars``).
+    """
+    w = weight if weight is not None else F.col("n_chars")
+    ids = F.col(id_col).cast("string")
+    u = (F.conv(F.substring(F.md5(ids), 1, 8), 16, 10).cast("double")
+         + 1.0) / float(1 << 32)
+    key = F.round(F.log(u) / w, 8)
+    ranked = docs.select(id_col, w.cast("double").alias("weight"),
+                         key.alias("skey"))
+    top = ranked.orderBy(F.desc("skey"), id_col).limit(k)
+    rk = Window.orderBy(F.desc("skey"), id_col)
+    return (top.withColumn("sample_rank", F.row_number().over(rk))
+            .select(id_col, "weight", "sample_rank"))

@@ -1459,6 +1459,16 @@ def q63_crawl_delta(spark, sf_dir):
     return j.select("doc_id", status.alias("status"))
 
 
+def q64_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement
+    (corpus.weighted_sample — Efraimidis-Spirakis exponential keys,
+    md5-derived randomness): top-100 docs by ln(u)/n_chars key.
+    Map-only + TakeOrdered; the oracle replays hash, key and rank."""
+    from .corpus import weighted_sample
+
+    return weighted_sample(_load(spark, sf_dir, "documents"), k=100)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1523,6 +1533,7 @@ QUERIES = {
     "q61_length_quantiles": q61_length_quantiles,
     "q62_range_join": q62_range_join,
     "q63_crawl_delta": q63_crawl_delta,
+    "q64_weighted_sample": q64_weighted_sample,
 }
 
 
@@ -3339,6 +3350,20 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q58_kmv_cardinality": _kmv_oracle(),
         "q59_label_propagation": _label_propagation_oracle(),
         "q60_adamic_adar": _adamic_adar_oracle(),
+        "q64_weighted_sample": """
+            SELECT doc_id, weight, sample_rank FROM (
+                SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                       row_number() OVER (ORDER BY skey DESC, doc_id)
+                           AS sample_rank
+                FROM (
+                    SELECT doc_id, n_chars,
+                           round(ln((('0x' || substring(
+                                       md5(doc_id::varchar), 1, 8))::bigint
+                                     + 1.0) / 4294967296.0)
+                                 / n_chars, 8) AS skey
+                    FROM documents) t
+            ) r WHERE sample_rank <= 100
+        """,
         "q63_crawl_delta": """
             WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
             b AS (

@@ -408,3 +408,29 @@ def test_leakage_safe_split_invariants(spark):
     # determinism across partitioning
     out2 = leakage_safe_split(docs.repartition(7)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_weighted_sample_invariants(spark):
+    """A-ES weighted WOR sampling: exactly k distinct rows, heavier
+    rows strongly overrepresented, deterministic and partition-
+    invariant (the hash is the randomness)."""
+    import pyspark.sql.functions as F
+
+    from casie_spark.corpus import weighted_sample
+
+    # 500 docs: ids < 100 carry weight 2000, the rest weight 20
+    rows = [(i, 2000 if i < 100 else 20) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(docs, k=50).collect()
+    assert len(out) == 50
+    assert len({r["doc_id"] for r in out}) == 50
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 51))
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    # expected heavy share ~ 100*2000/(100*2000+400*20) ~ 96%;
+    # any outcome under half would mean the weighting is broken
+    assert heavy > 25, heavy
+    out2 = weighted_sample(docs.repartition(11), k=50).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # custom weight column routes through
+    out3 = weighted_sample(docs, k=10, weight=F.lit(1.0)).collect()
+    assert len(out3) == 10
