@@ -42,7 +42,7 @@ EXTRA = ["q36_neardup_clusters", "q37_url_dedup", "q38_host_blocklist",
          "q54_bpe_merges", "q55_triangle_counts", "q56_negative_samples",
          "q57_leakage_split", "q58_kmv_cardinality",
          "q59_label_propagation", "q60_adamic_adar", "q61_length_quantiles",
-         "q62_range_join", "q63_crawl_delta", "q64_weighted_sample"]
+         "q62_range_join", "q63_crawl_delta", "q64_weighted_sample", "q65_shard_checksums"]
 
 
 def main() -> None:

@@ -575,3 +575,37 @@ def weighted_sample(docs: DataFrame, k: int = 100, weight=None,
     rk = Window.orderBy(F.desc("skey"), id_col)
     return (top.withColumn("sample_rank", F.row_number().over(rk))
             .select(id_col, "weight", "sample_rank"))
+
+
+def shard_checksums(docs: DataFrame, n_shards: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive per-shard content checksums — the integrity
+    audit for the resumable shard sinks (`write_training_shards`,
+    `sources/sinks.py`): after a crash-window replay, a shard's
+    checksum must equal the pre-crash manifest's, regardless of the
+    order the replacement write emitted rows.
+
+    checksum = SUM over the shard's docs of the 32-bit md5 fraction of
+    (id || '|' || content-md5) — addition is commutative, so the value
+    is independent of row order AND partitioning (the property a
+    naive "md5 of concatenated rows" lacks, which is why distributed
+    integrity checks are sum-of-hashes, e.g. ORC/Iceberg column
+    stats).  32-bit terms summed into a 64-bit accumulator overflow
+    only past 2^32 rows per shard — shard budgets (q41) keep shards
+    far under that; the DuckDB oracle (q65) replays the identical sum.
+
+    Scale shape: map-only hashing + one n_shards-key agg with map-side
+    combine; text crosses no shuffle.
+    """
+    from .functions.textstats import hash16
+
+    ids = F.col(id_col).cast("string")
+    shard = (hash16(ids) % n_shards).alias("shard")
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", ids, F.md5(text_col))), 1, 8),
+        16, 10).cast("long")
+    return (docs.select(shard, row_h.alias("_h"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_h").alias("content_checksum")))

@@ -1469,6 +1469,17 @@ def q64_weighted_sample(spark, sf_dir):
     return weighted_sample(_load(spark, sf_dir, "documents"), k=100)
 
 
+def q65_shard_checksums(spark, sf_dir):
+    """Order-insensitive shard integrity checksums
+    (corpus.shard_checksums): sum-of-row-hashes per q41-style shard —
+    the audit a resumable sink runs after a crash-window replay.
+    Map-only + one n_shards-key agg; the oracle replays the identical
+    hash and sum."""
+    from .corpus import shard_checksums
+
+    return shard_checksums(_load(spark, sf_dir, "documents"), n_shards=8)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1534,6 +1545,7 @@ QUERIES = {
     "q62_range_join": q62_range_join,
     "q63_crawl_delta": q63_crawl_delta,
     "q64_weighted_sample": q64_weighted_sample,
+    "q65_shard_checksums": q65_shard_checksums,
 }
 
 
@@ -3350,6 +3362,15 @@ def oracle_sql(sf_dir: str = "") -> dict[str, str]:
         "q58_kmv_cardinality": _kmv_oracle(),
         "q59_label_propagation": _label_propagation_oracle(),
         "q60_adamic_adar": _adamic_adar_oracle(),
+        "q65_shard_checksums": """
+            SELECT (('0x' || substring(md5(doc_id::varchar), 1, 4))::int
+                    % 8) AS shard,
+                   count(*) AS n_docs,
+                   sum(('0x' || substring(
+                        md5(doc_id::varchar || '|' || md5(text)),
+                        1, 8))::bigint) AS content_checksum
+            FROM documents GROUP BY 1
+        """,
         "q64_weighted_sample": """
             SELECT doc_id, weight, sample_rank FROM (
                 SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,

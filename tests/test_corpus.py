@@ -434,3 +434,36 @@ def test_weighted_sample_invariants(spark):
     # custom weight column routes through
     out3 = weighted_sample(docs, k=10, weight=F.lit(1.0)).collect()
     assert len(out3) == 10
+
+
+def test_shard_checksums_detect_mutation_and_order_invariance(spark):
+    """Integrity audit semantics: identical content -> identical
+    checksums under any partitioning/ordering; a single-row text
+    change flips exactly that shard's checksum but not its count."""
+    import pyspark.sql.functions as F
+
+    from casie_spark.corpus import shard_checksums
+    from casie_spark.functions.textstats import hash16
+
+    rows = [(i, f"document body number {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["shard"]: (r["n_docs"], r["content_checksum"])
+         for r in shard_checksums(docs, n_shards=8).collect()}
+    b = {r["shard"]: (r["n_docs"], r["content_checksum"])
+         for r in shard_checksums(
+             docs.repartition(13).orderBy(F.desc("doc_id")),
+             n_shards=8).collect()}
+    assert a == b and len(a) == 8
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 7,
+                       F.lit("tampered")).otherwise(F.col("text")))
+    c = {r["shard"]: (r["n_docs"], r["content_checksum"])
+         for r in shard_checksums(mutated, n_shards=8).collect()}
+    changed = {s for s in a if a[s] != c[s]}
+    doc7_shard = {r["shard"] for r in spark.createDataFrame(
+        [(7,)], "doc_id long").select(
+        (hash16(F.col("doc_id").cast("string")) % 8).alias("shard"))
+        .collect()}
+    assert changed == doc7_shard
+    for s in changed:
+        assert a[s][0] == c[s][0]  # count unchanged, content differs
